@@ -1,0 +1,262 @@
+"""Augmented-Lagrangian MPC — the solver under DEQ-MPC training.
+
+Rebuild of qpth/AL_mpc.py (MPC.forward/al_solve) + the NewtonAL implicit
+backward (qpth/al_utils.py:465-500), with three structural changes for TPU:
+
+1. All warm-start state (λ, ρ, x/u inits, cost/λ/ρ history) is an explicit
+   ``ALState`` pytree threaded by the caller instead of torch module
+   attributes (AL_mpc.py:250-252,314-318) — required for jit/scan purity
+   and for sharding the batch axis.
+2. The inner Newton solve uses the block-tridiagonal Cholesky
+   (ops.btsolve) instead of a dense (T·n)² Cholesky.
+3. Differentiation is a ``jax.custom_vjp``: one extra block-tridiagonal
+   solve H·g = −∂L/∂τ at the solution, then dCd = g⊙τ, dc = g
+   (the reference's diag-Q implicit backward, al_utils.py:465-500).
+
+Solves::
+
+    min_{x,u} Σₜ ½ τₜᵀ Cₜ τₜ + cₜᵀ τₜ
+    s.t. x_{t+1} = f(x_t, u_t), x_0 = x0, u_lo ≤ u ≤ u_hi
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from diff_qp_mpc_tpu.core.types import ALState, Bounds, DiagQuadCost, Lambdas, SolveStats
+from diff_qp_mpc_tpu.models.base import DynamicsModel, step_with_jac
+from diff_qp_mpc_tpu.ops import almerit, btsolve, newton_al
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class ALConfig:
+    """Static solver budget (reference defaults: AL_mpc.py:121 al_iter=2;
+    al_utils.py:397 ≤4 Newton steps; al_utils.py:504 20-candidate line
+    search; AL_mpc.py:307 ρ←10ρ)."""
+
+    al_iter: int = 2
+    n_newton: int = 4
+    n_ls: int = 20
+    rho_factor: float = 10.0
+    # Cap on ρ: without it, warm-started receding-horizon use grows ρ by
+    # rho_factor^al_iter per call and overflows within a few calls (the
+    # reference gestures at the same cap in a commented-out line,
+    # AL_mpc.py:306 `rho = torch.minimum(..., rho_init*100)`).
+    rho_max: float = 1e6
+    reg: float = 1e-7
+    use_line_search: bool = True
+
+
+def warm_start(lam: Lambdas, rho: Array, cost_start: Array, state: ALState
+               ) -> Tuple[Lambdas, Array]:
+    """History-based AL warm start (reference: al_utils.py:16-34
+    warm_start_al): pick the most recent history entry whose cost beats the
+    incoming cost, rescale λ to that entry's magnitude, take its ρ."""
+    hist_cost = state.hist_cost[::-1]  # most recent first
+    hist_rho = state.hist_rho[::-1]
+    hist_lam = jax.tree.map(lambda a: a[::-1], state.hist_lam)
+
+    mask = hist_cost < cost_start[None]  # [H, bsz]
+    idx = jnp.argmax(mask, axis=0)  # first improving entry (0 if none — the
+    # most recent entry — matching torch.max-on-bool semantics)
+    bidx = jnp.arange(cost_start.shape[0])
+
+    lam_sel = jax.tree.map(lambda a: a[idx, bidx], hist_lam)
+    norm_sel = jnp.linalg.norm(lam_sel.flat(), axis=-1)
+    norm_cur = jnp.linalg.norm(lam.flat(), axis=-1)
+    scale = norm_sel / (norm_cur + 1e-12)
+    lam_new = jax.tree.map(
+        lambda a: a * scale.reshape((-1,) + (1,) * (a.ndim - 1)), lam
+    )
+    rho_new = hist_rho[idx, bidx]
+    return lam_new, rho_new
+
+
+def _push_hist(state_hist, entry):
+    """Roll a [H, ...] history buffer, appending `entry` at the end."""
+    return jnp.concatenate([state_hist[1:], entry[None]], axis=0)
+
+
+def _al_core(dynamics: DynamicsModel, cfg: ALConfig, cost: DiagQuadCost,
+             x0: Array, bounds: Bounds, state: ALState,
+             x_init: Optional[Array], u_init: Optional[Array]):
+    """Pure forward AL solve. Returns (xu, new_state, stats, D, O)."""
+    bsz, T, nx = state.x.shape
+    nu = state.u.shape[-1]
+    dyn = dynamics  # batched step via __call__
+    dyn_jac = step_with_jac(dynamics.step)
+
+    u = u_init if u_init is not None else state.u
+    x_roll = dynamics.rollout(x0, u)
+    if x_init is not None:
+        x = x_init
+    else:
+        x = jnp.where(state.just_initialized, x_roll, state.x)
+
+    lam = state.lam
+    rho = state.rho
+
+    xu = jnp.concatenate([x, u], axis=-1)
+    res0 = almerit.residuals(dyn, x, u, x0, bounds)
+    cost_start = almerit.compute_cost(cost, xu)
+    lam_ws, rho_ws = warm_start(lam, rho, cost_start, state)
+    lam = jax.tree.map(
+        lambda a, b: jnp.where(state.just_initialized, a, b), lam, lam_ws
+    )
+    rho = jnp.where(state.just_initialized, rho, rho_ws)
+    rho = jnp.clip(rho, 1e-3, cfg.rho_max)
+
+    hist_cost = _push_hist(state.hist_cost, cost_start)
+    hist_lam = jax.tree.map(_push_hist, state.hist_lam, lam)
+    hist_rho = _push_hist(state.hist_rho, rho)
+
+    # ---- AL outer iterations (reference: AL_mpc.py:285-311) ----
+    newton_kwargs = dict(n_newton=cfg.n_newton, n_ls=cfg.n_ls, reg=cfg.reg,
+                         use_line_search=cfg.use_line_search)
+    D = O = None
+    stats = None
+    for _ in range(cfg.al_iter):
+        result = newton_al.newton_al(
+            cost, dyn, dyn_jac, xu, x0, bounds, lam, rho, **newton_kwargs
+        )
+        xu = result.xu
+        D, O = result.D, result.O
+        res = almerit.residuals(dyn, xu[..., :nx], xu[..., nx:], x0, bounds)
+        lam = almerit.lambda_update(lam, res, rho)
+        cost_now = almerit.compute_cost(cost, xu)
+        rho = jnp.minimum(rho * cfg.rho_factor, cfg.rho_max)
+        hist_cost = _push_hist(hist_cost, cost_now)
+        hist_lam = jax.tree.map(_push_hist, hist_lam, lam)
+        hist_rho = _push_hist(hist_rho, rho)
+        stats = SolveStats(
+            dyn_res=res.clamped().flat_norm(),
+            cost=cost_now,
+            merit=result.merit,
+            newton_steps=jnp.asarray(cfg.al_iter * cfg.n_newton, jnp.int32),
+            step_size=result.step_size,
+        )
+
+    x_out, u_out = xu[..., :nx], xu[..., nx:]
+    new_state = ALState(
+        x=x_out, u=u_out, lam=lam, rho=rho,
+        hist_cost=hist_cost, hist_lam=hist_lam, hist_rho=hist_rho,
+        hist_filled=jnp.minimum(
+            state.hist_filled + cfg.al_iter + 1, state.hist_cost.shape[0]
+        ),
+        just_initialized=jnp.zeros((), bool),
+    )
+    return xu, new_state, stats, D, O
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _al_solve_diff(dynamics, cfg, cost, x0, bounds, state, x_init, u_init):
+    xu, new_state, stats, _, _ = _al_core(
+        dynamics, cfg, cost, x0, bounds, state, x_init, u_init
+    )
+    return xu, new_state, stats
+
+
+def _al_solve_fwd(dynamics, cfg, cost, x0, bounds, state, x_init, u_init):
+    xu, new_state, stats, D, O = _al_core(
+        dynamics, cfg, cost, x0, bounds, state, x_init, u_init
+    )
+    return (xu, new_state, stats), (xu, D, O, cost, x0, bounds, state, x_init, u_init)
+
+
+def _al_solve_bwd(dynamics, cfg, residuals_saved, cotangents):
+    xu, D, O, cost, x0, bounds, state, x_init, u_init = residuals_saved
+    ct_xu, _ct_state, _ct_stats = cotangents
+
+    # Implicit function theorem at the (approximate) stationary point:
+    # H g = −ḡ with H the final GN merit Hessian (reference:
+    # al_utils.py:465-479 reuses the saved Cholesky; the block factor here
+    # is cheap enough to recompute from the saved blocks). The x₀
+    # coordinates are pinned (dx₀/dθ = 0), so their cotangent is dropped
+    # before the solve — D/O are the pinned blocks.
+    nx0 = x0.shape[-1]
+    ct_xu = ct_xu.at[:, 0, :nx0].set(0.0)
+    g = -btsolve.batched_factor_solve(D, O, ct_xu, cfg.reg)
+    dCd = g * xu  # diag-Q gradient (al_utils.py:482)
+    dc = g  # (al_utils.py:484)
+
+    d_cost = jax.tree.map(jnp.zeros_like, cost)
+    d_cost = dataclasses.replace(d_cost, Cd=dCd.astype(cost.Cd.dtype),
+                                 c=dc.astype(cost.c.dtype))
+    zeros = lambda v: None if v is None else jax.tree.map(jnp.zeros_like, v)
+    return (d_cost, zeros(x0), zeros(bounds), zeros(state),
+            zeros(x_init), zeros(u_init))
+
+
+_al_solve_diff.defvjp(_al_solve_fwd, _al_solve_bwd)
+
+
+def shift(state: ALState, keep_multipliers: bool = False) -> ALState:
+    """Advance warm-start state by one step for receding-horizon control.
+
+    The reference reuses the previous solution unshifted as the next call's
+    init (AL_mpc.py:250-252) and relies on per-episode ``reinitialize`` —
+    which diverges in closed loop (stale multipliers, misaligned
+    trajectories). The standard recipe implemented here: shift x/u left by
+    one (repeating the tail), and reset multipliers/penalty/history unless
+    ``keep_multipliers`` (they correspond to the previous, shifted
+    problem).
+    """
+    x = jnp.concatenate([state.x[:, 1:], state.x[:, -1:]], axis=1)
+    u = jnp.concatenate([state.u[:, 1:], state.u[:, -1:]], axis=1)
+    bsz, T, nx = x.shape
+    nu = u.shape[-1]
+    if keep_multipliers:
+        lam_dyn = jnp.concatenate(
+            [state.lam.lam_dyn[:, 1:], state.lam.lam_dyn[:, -1:]], axis=1
+        )
+        lam = Lambdas(
+            lam_dyn=lam_dyn,
+            lam_init=jnp.zeros_like(state.lam.lam_init),
+            lam_hi=jnp.concatenate(
+                [state.lam.lam_hi[:, 1:], state.lam.lam_hi[:, -1:]], axis=1
+            ),
+            lam_lo=jnp.concatenate(
+                [state.lam.lam_lo[:, 1:], state.lam.lam_lo[:, -1:]], axis=1
+            ),
+        )
+        return dataclasses.replace(
+            state, x=x, u=u, lam=lam,
+            just_initialized=jnp.ones((), bool),  # skip cost-history warm start
+        )
+    fresh = ALState.init(bsz, T, nx, nu,
+                         hist_len=state.hist_cost.shape[0], dtype=x.dtype)
+    # just_initialized=False so the shifted x/u warm starts are used; the
+    # fresh (inf-cost) history makes the warm-start selection a no-op
+    # (λ stays 0, ρ returns to 1).
+    return dataclasses.replace(fresh, x=x, u=u,
+                               just_initialized=jnp.zeros((), bool))
+
+
+def solve(dynamics: DynamicsModel, cost: DiagQuadCost, x0: Array,
+          bounds: Bounds, state: ALState, cfg: ALConfig = ALConfig(),
+          x_init: Optional[Array] = None, u_init: Optional[Array] = None,
+          differentiable: bool = True):
+    """AL-MPC solve. Returns (x, u, new_state, stats).
+
+    ``state`` carries warm starts across receding-horizon calls; build a
+    fresh one with ``ALState.init`` (≙ reference ``reinitialize``,
+    AL_mpc.py:432-439). Gradients flow to ``cost`` only (diag Q), matching
+    the reference's NewtonAL backward.
+    """
+    nx = x0.shape[-1]
+    if differentiable:
+        xu, new_state, stats = _al_solve_diff(
+            dynamics, cfg, cost, x0, bounds, state, x_init, u_init
+        )
+    else:
+        xu, new_state, stats, _, _ = _al_core(
+            dynamics, cfg, cost, x0, bounds, state, x_init, u_init
+        )
+    new_state = jax.lax.stop_gradient(new_state)
+    return xu[..., :nx], xu[..., nx:], new_state, stats
