@@ -117,16 +117,29 @@ def _al_core(dynamics: DynamicsModel, cfg: ALConfig, cost: DiagQuadCost,
     hist_rho = _push_hist(state.hist_rho, rho)
 
     # ---- AL outer iterations (reference: AL_mpc.py:285-311) ----
+    # lax.scan (not a Python loop): al_iter trip bodies share one trace,
+    # cutting compile time ~al_iter-fold on TPU.
     newton_kwargs = dict(n_newton=cfg.n_newton, n_ls=cfg.n_ls, reg=cfg.reg,
                          use_line_search=cfg.use_line_search)
-    D = O = None
-    stats = None
-    for _ in range(cfg.al_iter):
+    bsz = xu.shape[0]
+    n = xu.shape[-1]
+    T = xu.shape[1]
+    D0 = jnp.zeros((bsz, T, n, n), xu.dtype)
+    O0 = jnp.zeros((bsz, T - 1, n, n), xu.dtype)
+    stats0 = SolveStats(
+        dyn_res=jnp.zeros((bsz,), xu.dtype),
+        cost=cost_start,
+        merit=jnp.zeros((bsz,), xu.dtype),
+        newton_steps=jnp.asarray(cfg.al_iter * cfg.n_newton, jnp.int32),
+        step_size=jnp.zeros((bsz,), xu.dtype),
+    )
+
+    def al_body(carry, _):
+        xu, lam, rho, hist_cost, hist_lam, hist_rho, _D, _O, _stats = carry
         result = newton_al.newton_al(
             cost, dyn, dyn_jac, xu, x0, bounds, lam, rho, **newton_kwargs
         )
         xu = result.xu
-        D, O = result.D, result.O
         res = almerit.residuals(dyn, xu[..., :nx], xu[..., nx:], x0, bounds)
         lam = almerit.lambda_update(lam, res, rho)
         cost_now = almerit.compute_cost(cost, xu)
@@ -141,6 +154,15 @@ def _al_core(dynamics: DynamicsModel, cfg: ALConfig, cost: DiagQuadCost,
             newton_steps=jnp.asarray(cfg.al_iter * cfg.n_newton, jnp.int32),
             step_size=result.step_size,
         )
+        return (xu, lam, rho, hist_cost, hist_lam, hist_rho,
+                result.D, result.O, stats), None
+
+    (xu, lam, rho, hist_cost, hist_lam, hist_rho, D, O, stats), _ = jax.lax.scan(
+        al_body,
+        (xu, lam, rho, hist_cost, hist_lam, hist_rho, D0, O0, stats0),
+        None,
+        length=cfg.al_iter,
+    )
 
     x_out, u_out = xu[..., :nx], xu[..., nx:]
     new_state = ALState(

@@ -1,0 +1,274 @@
+"""Differentiable dense QP layer — the OptNet QPFunction, TPU-native.
+
+Rebuild of qpth/qp.py (QPFunction/DenseQPFunction) + the dense-KKT PDIPM
+(qpth/solvers/pdipm/batch_LU.py). Solves batches of
+
+    min_z ½ zᵀQz + pᵀz   s.t.  Gz ≤ h,  Az = b
+
+with a Mehrotra predictor-corrector interior-point method, and
+differentiates implicitly: the backward pass is ONE extra KKT solve with
+∂L/∂z* as the right-hand side followed by outer-product gradient assembly
+(qp.py:128-183 math, reproduced exactly).
+
+TPU-first restructuring vs the reference:
+- fixed ``maxIter`` trip count under ``lax.scan`` with per-batch
+  best-iterate tracking (replaces the host-synced early exit + nNotImproved
+  counter, batch_LU.py:119-148) — identical returned iterate, no host sync;
+- one LU factorization per IPM iteration shared by the affine and
+  corrector solves + one step of iterative refinement against the
+  unregularized K (batch_LU.py:212-244 semantics);
+- no torch-style in-place diag writes: the KKT matrix is rebuilt
+  functionally from (z, s) each iteration — XLA fuses it.
+
+The reference's nonstandard ``dyn_res``/``cost_grad`` callback extension
+(batch_LU.py:89-97: residuals use the *true nonlinear* dynamics/cost) is
+kept via the optional ``ry_fn``/``rx_fn`` hooks.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class QPConfig:
+    """Reference defaults: qp.py:19-20, batch_LU.py:29-30."""
+
+    max_iter: int = 20
+    kkt_reg: float = 1e-7  # Ktilde regularization (batch_LU.py:42 KKTeps)
+    refine_steps: int = 1
+    eps: float = 1e-12  # kept for API parity; exit is via best-iterate
+
+
+class QPSolution(NamedTuple):
+    z: Array  # [bsz, nz] primal
+    lam: Array  # [bsz, nineq] inequality duals
+    nu: Array  # [bsz, neq] equality duals
+    s: Array  # [bsz, nineq] slacks
+    resids: Array  # [bsz] residual at the returned (best) iterate
+
+
+def _bmv(M: Array, v: Array) -> Array:
+    return jnp.einsum("bij,bj->bi", M, v, precision=_PREC)
+
+
+def _build_kkt(Q, G, A, z, s, reg: float):
+    """K(z, s) = [[Q, 0, Gᵀ, Aᵀ], [0, Z, S, 0], [G, I, 0, 0], [A, 0, 0, 0]]
+    (variables ordered (x, s, z, y); reference qp.py:195-217 preprocess +
+    batch_LU.py:110-113 diag updates)."""
+    bsz, nineq, nz = G.shape
+    neq = A.shape[1]
+    dt = Q.dtype
+    I_in = jnp.broadcast_to(jnp.eye(nineq, dtype=dt), (bsz, nineq, nineq))
+    Zm = lambda r, c: jnp.zeros((bsz, r, c), dt)
+    GT = jnp.swapaxes(G, -1, -2)
+    AT = jnp.swapaxes(A, -1, -2)
+    Zd = jax.vmap(jnp.diag)(z)
+    Sd = jax.vmap(jnp.diag)(s)
+    K = jnp.concatenate(
+        [
+            jnp.concatenate([Q, Zm(nz, nineq), GT, AT], axis=-1),
+            jnp.concatenate([Zm(nineq, nz), Zd, Sd, Zm(nineq, neq)], axis=-1),
+            jnp.concatenate([G, I_in, Zm(nineq, nineq), Zm(nineq, neq)], axis=-1),
+            jnp.concatenate([A, Zm(neq, nineq), Zm(neq, nineq), Zm(neq, neq)], axis=-1),
+        ],
+        axis=-2,
+    )
+    if reg:
+        m = nz + 2 * nineq + neq
+        sign = jnp.concatenate(
+            [jnp.ones(nz + nineq, dt), -jnp.ones(nineq + neq, dt)]
+        )
+        K_tilde = K + reg * jnp.broadcast_to(jnp.diag(sign), (bsz, m, m))
+    else:
+        K_tilde = K
+    return K, K_tilde
+
+
+def _kkt_solve(K, K_tilde, rx, rs, rz, ry, refine_steps: int):
+    """Solve K l = -[rx, rs, rz, ry] via LU of the regularized K_tilde plus
+    iterative refinement against K (batch_LU.py:212-244)."""
+    nz, nineq, neq = rx.shape[1], rs.shape[1], ry.shape[1]
+    r = -jnp.concatenate([rx, rs, rz, ry], axis=1)
+    lu, piv = jax.scipy.linalg.lu_factor(K_tilde)
+    l = jax.scipy.linalg.lu_solve((lu, piv), r[..., None])[..., 0]
+    for _ in range(refine_steps):
+        res = r - _bmv(K, l)
+        l = l + jax.scipy.linalg.lu_solve((lu, piv), res[..., None])[..., 0]
+    dx = l[:, :nz]
+    ds = l[:, nz:nz + nineq]
+    dz = l[:, nz + nineq:nz + 2 * nineq]
+    dy = l[:, nz + 2 * nineq:]
+    return dx, ds, dz, dy
+
+
+def _get_step(v: Array, dv: Array) -> Array:
+    """Largest α ≤ 1 keeping v + α·dv ≥ 0 (per batch).
+    (Standard fraction-to-boundary; replaces batch_LU.py:204-210.)"""
+    big = jnp.asarray(jnp.finfo(v.dtype).max, v.dtype)
+    steps = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), big)
+    return jnp.minimum(jnp.min(steps, axis=1), 1.0)
+
+
+def qp_solve(Q: Array, p: Array, G: Array, h: Array, A: Array, b: Array,
+             cfg: QPConfig = QPConfig(),
+             ry_fn: Optional[Callable[[Array], Array]] = None,
+             rx_fn: Optional[Callable[[Array], Array]] = None) -> QPSolution:
+    """Batched PDIPM forward (batch_LU.py:29-201).
+
+    Q: [bsz, nz, nz], p: [bsz, nz], G: [bsz, nineq, nz], h: [bsz, nineq],
+    A: [bsz, neq, nz] (neq may be 0), b: [bsz, neq].
+    ry_fn(x) -> [bsz, neq] overrides the equality residual Ax − b;
+    rx_fn(x) -> [bsz, nz] overrides the cost-gradient term Qx + p.
+    """
+    bsz, nineq, nz = G.shape
+    neq = A.shape[1]
+    dt = Q.dtype
+    GT = jnp.swapaxes(G, -1, -2)
+    AT = jnp.swapaxes(A, -1, -2)
+
+    # --- initialization: solve with S = Z = I, then shift into the cone ---
+    ones = jnp.ones((bsz, nineq), dt)
+    K, K_tilde = _build_kkt(Q, G, A, ones, ones, cfg.kkt_reg)
+    x, s, z, y = _kkt_solve(K, K_tilde, p, jnp.zeros((bsz, nineq), dt),
+                            -h, -b, cfg.refine_steps)
+    s_min = jnp.min(s, axis=1, keepdims=True)
+    s = jnp.where(s_min < 0, s - s_min + 1.0, s)
+    z_min = jnp.min(z, axis=1, keepdims=True)
+    z = jnp.where(z_min < 0, z - z_min + 1.0, z)
+
+    def residuals(x, s, z, y):
+        rx = _bmv(GT, z) + (_bmv(AT, y) if neq > 0 else 0.0)
+        rx = rx + (rx_fn(x) if rx_fn is not None else _bmv(Q, x) + p)
+        rs = s * z
+        rz = _bmv(G, x) + s - h
+        ry = ry_fn(x) if ry_fn is not None else (
+            _bmv(A, x) - b if neq > 0 else jnp.zeros((bsz, 0), dt)
+        )
+        return rx, rs, rz, ry
+
+    def body(carry, _):
+        x, s, z, y, best = carry
+        rx, rs, rz, ry = residuals(x, s, z, y)
+        mu = jnp.abs(jnp.sum(s * z, axis=1)) / nineq
+        resids = (
+            jnp.linalg.norm(rz, axis=1)
+            + (jnp.linalg.norm(ry, axis=1) if neq > 0 else 0.0)
+            + jnp.linalg.norm(rx, axis=1)
+            + nineq * mu
+        )
+        # best-iterate bookkeeping (batch_LU.py:119-148)
+        b_res, b_x, b_s, b_z, b_y = best
+        better = resids < b_res
+        sel = lambda new, old: jnp.where(better[:, None], new, old)
+        best = (jnp.minimum(resids, b_res), sel(x, b_x), sel(s, b_s),
+                sel(z, b_z), sel(y, b_y))
+
+        K, K_tilde = _build_kkt(Q, G, A, z, s, cfg.kkt_reg)
+        lu, piv = jax.scipy.linalg.lu_factor(K_tilde)
+
+        def solve(rx, rs, rz, ry):
+            r = -jnp.concatenate([rx, rs, rz, ry], axis=1)
+            l = jax.scipy.linalg.lu_solve((lu, piv), r[..., None])[..., 0]
+            for _ in range(cfg.refine_steps):
+                res = r - _bmv(K, l)
+                l = l + jax.scipy.linalg.lu_solve((lu, piv), res[..., None])[..., 0]
+            return (l[:, :nz], l[:, nz:nz + nineq],
+                    l[:, nz + nineq:nz + 2 * nineq], l[:, nz + 2 * nineq:])
+
+        # affine (predictor) direction
+        dx_a, ds_a, dz_a, dy_a = solve(rx, rs, rz, ry)
+        alpha = jnp.minimum(_get_step(z, dz_a), _get_step(s, ds_a))
+        t1 = s + alpha[:, None] * ds_a
+        t2 = z + alpha[:, None] * dz_a
+        sig = (jnp.sum(t1 * t2, axis=1) / jnp.sum(s * z, axis=1)) ** 3
+
+        # centering-corrector direction (batch_LU.py:169-179)
+        rs_c = (-(mu * sig))[:, None] + ds_a * dz_a
+        zeros = jnp.zeros_like
+        dx_c, ds_c, dz_c, dy_c = solve(zeros(rx), rs_c, zeros(rz), zeros(ry))
+
+        dx, ds, dz, dy = dx_a + dx_c, ds_a + ds_c, dz_a + dz_c, dy_a + dy_c
+        alpha = jnp.minimum(
+            0.999 * jnp.minimum(_get_step(z, dz), _get_step(s, ds)), 1.0
+        )[:, None]
+        return (x + alpha * dx, s + alpha * ds, z + alpha * dz,
+                y + alpha * dy if neq > 0 else y, best), None
+
+    best0 = (jnp.full((bsz,), jnp.inf, dt), x, s, z, y)
+    (x, s, z, y, best), _ = jax.lax.scan(
+        body, (x, s, z, y, best0), None, length=cfg.max_iter
+    )
+    # final best update with the last iterate
+    rx, rs, rz, ry = residuals(x, s, z, y)
+    mu = jnp.abs(jnp.sum(s * z, axis=1)) / nineq
+    resids = (
+        jnp.linalg.norm(rz, axis=1)
+        + (jnp.linalg.norm(ry, axis=1) if neq > 0 else 0.0)
+        + jnp.linalg.norm(rx, axis=1)
+        + nineq * mu
+    )
+    b_res, b_x, b_s, b_z, b_y = best
+    better = resids < b_res
+    sel = lambda new, old: jnp.where(better[:, None], new, old)
+    return QPSolution(
+        z=sel(x, b_x), lam=sel(z, b_z), nu=sel(y, b_y), s=sel(s, b_s),
+        resids=jnp.minimum(resids, b_res),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable layer (custom_vjp; qp.py:128-183 backward math)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def qp_layer(Q, p, G, h, A, b, cfg: QPConfig = QPConfig()):
+    """argmin_z ½zᵀQz + pᵀz  s.t. Gz ≤ h, Az = b — differentiable in all
+    six parameters (the OptNet layer, qpth QPFunction)."""
+    return qp_solve(Q, p, G, h, A, b, cfg).z
+
+
+def _qp_layer_fwd(Q, p, G, h, A, b, cfg):
+    sol = qp_solve(Q, p, G, h, A, b, cfg)
+    return sol.z, (Q, G, A, sol)
+
+
+def _qp_layer_bwd(cfg, saved, dl_dz):
+    Q, G, A, sol = saved
+    bsz, nineq, nz = G.shape
+    neq = A.shape[1]
+    dt = Q.dtype
+
+    # Clamped D = λ/s (qp.py:149) folded into the KKT second row: solving
+    # with (S, Z) at the solution is the linearized complementarity system.
+    lam_c = jnp.clip(sol.lam, 1e-8)
+    s_c = jnp.clip(sol.s, 1e-8)
+    K, K_tilde = _build_kkt(Q, G, A, lam_c, s_c, cfg.kkt_reg)
+    zeros_i = jnp.zeros((bsz, nineq), dt)
+    zeros_e = jnp.zeros((bsz, neq), dt)
+    dx, _, dlam, dnu = _kkt_solve(K, K_tilde, dl_dz, zeros_i, zeros_i,
+                                  zeros_e, cfg.refine_steps)
+
+    bger = lambda a, c: jnp.einsum("bi,bj->bij", a, c)
+    dp = dx
+    dG = bger(dlam, sol.z) + bger(sol.lam, dx)
+    dh = -dlam
+    dQ = 0.5 * (bger(dx, sol.z) + bger(sol.z, dx))
+    if neq > 0:
+        dA = bger(dnu, sol.z) + bger(sol.nu, dx)
+        db = -dnu
+    else:
+        dA = jnp.zeros_like(A)
+        db = jnp.zeros((bsz, 0), dt)
+    return dQ, dp, dG, dh, dA, db
+
+
+qp_layer.defvjp(_qp_layer_fwd, _qp_layer_bwd)

@@ -1,0 +1,295 @@
+"""Box-constrained trajectory QP via interior point + Riccati KKT solves.
+
+Solves batches of
+
+    min_{x,u}  Σₜ ½ wₜᵀ Cₜ wₜ + cₜᵀ wₜ          (w = (x, u))
+    s.t.       x_{t+1} = Aₜ xₜ + Bₜ uₜ + fₜ,  x₀ = x0,  u_lo ≤ u ≤ u_hi
+
+This is the problem the reference solves by assembling one dense QP over
+the whole trajectory (qp_wrapper.py:638-679) and running the dense-KKT LU
+PDIPM (DenseQPFunction, qp.py:187-271 + batch_LU.py). TPU-native redesign:
+a Mehrotra predictor-corrector in which the box-inequality block is
+eliminated analytically each iteration (slack/dual pairs fold into a
+diagonal modification of Cuu and the u-gradient) and the remaining
+equality-constrained Newton system is solved by the O(T) Riccati
+factorization (ops.riccati) instead of O((T·n)³) dense LU. Fixed trip
+count + best-iterate tracking keep it jit-clean (batch_LU.py:119-148
+semantics).
+
+Elimination algebra (per bound side, per (t, j)):
+    Z ds + S dz = −r_s           (linearized complementarity)
+    ±du + ds    = −r_p           (primal feasibility rows)
+  ⇒ dz = (Z/S)·(±du) + (Z r_p − r_s)/S
+so the u-stationarity row gains  diag(z_hi/s_hi + z_lo/s_lo)  and the
+gradient gains  (Z r_p − r_s)/S  terms.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from diff_qp_mpc_tpu.core.types import Bounds
+from diff_qp_mpc_tpu.ops import riccati
+
+Array = jnp.ndarray
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _mv(M, v):
+    return jnp.einsum("...ij,...j->...i", M, v, precision=_PREC)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrajQPConfig:
+    max_iter: int = 12
+    reg: float = 1e-9  # Levenberg damping on Quu in the Riccati pass
+    min_slack: float = 1e-8
+
+
+class TrajQPSolution(NamedTuple):
+    x: Array  # [bsz, T, nx]
+    u: Array  # [bsz, T, nu]
+    lam: Array  # [bsz, T, nx] costates (riccati convention)
+    z_hi: Array  # [bsz, T, nu]
+    z_lo: Array
+    s_hi: Array
+    s_lo: Array
+    resids: Array  # [bsz]
+
+
+class _CostBlocks(NamedTuple):
+    Cxx: Array  # [bsz, T, nx, nx]
+    Cxu: Array  # [bsz, T, nx, nu]
+    Cuu: Array  # [bsz, T, nu, nu]
+    cx: Array  # [bsz, T, nx]
+    cu: Array  # [bsz, T, nu]
+
+
+def split_cost(C: Array, c: Array, nx: int) -> _CostBlocks:
+    """C: [bsz, T, n, n], c: [bsz, T, n] -> per-variable blocks."""
+    return _CostBlocks(
+        Cxx=C[..., :nx, :nx], Cxu=C[..., :nx, nx:], Cuu=C[..., nx:, nx:],
+        cx=c[..., :nx], cu=c[..., nx:],
+    )
+
+
+def _stationarity(cb: _CostBlocks, x, u, lam, z_hi, z_lo, A, B):
+    """(r_x, r_u) stationarity residuals (signs per ops.riccati
+    kkt_residual: dyn-row-t multiplier is lam[t+1], init row lam[0])."""
+    AT = jnp.swapaxes(A, -1, -2)
+    BT = jnp.swapaxes(B, -1, -2)
+    CxuT = jnp.swapaxes(cb.Cxu, -1, -2)
+    nu_dyn = lam[:, 1:]
+    r_x = _mv(cb.Cxx, x) + _mv(cb.Cxu, u) + cb.cx
+    r_x = r_x.at[:, :-1].add(-_mv(AT, nu_dyn))
+    r_x = r_x.at[:, 1:].add(nu_dyn)
+    r_x = r_x.at[:, 0].add(lam[:, 0])
+    r_u = _mv(CxuT, x) + _mv(cb.Cuu, u) + cb.cu + z_hi - z_lo
+    r_u = r_u.at[:, :-1].add(-_mv(BT, nu_dyn))
+    return r_x, r_u
+
+
+def solve(C: Array, c: Array, A: Array, B: Array, f: Array, x0: Array,
+          bounds: Bounds, cfg: TrajQPConfig = TrajQPConfig(),
+          x_init: Array | None = None, u_init: Array | None = None
+          ) -> TrajQPSolution:
+    """Batched IPM solve. C: [bsz,T,n,n], c: [bsz,T,n], A: [bsz,T-1,nx,nx],
+    B: [bsz,T-1,nx,nu], f: [bsz,T-1,nx], x0: [bsz,nx]."""
+    bsz, Tm1, nx, nu = B.shape
+    T = Tm1 + 1
+    dt = C.dtype
+    cb = split_cost(C, c, nx)
+    u_hi = jnp.broadcast_to(bounds.u_hi, (bsz, T, nu)).astype(dt)
+    u_lo = jnp.broadcast_to(bounds.u_lo, (bsz, T, nu)).astype(dt)
+
+    # --- initialization: interior (s, z) > 0; warm-startable (x, u) ---
+    u = (jnp.clip(u_init, u_lo + 1e-3, u_hi - 1e-3)
+         if u_init is not None else 0.5 * (u_hi + u_lo))
+    if x_init is not None:
+        x = x_init
+    else:
+        # affine rollout of u under the linearized dynamics
+        def roll(xt, inp):
+            A_t, B_t, f_t, u_t = inp
+            xn = _mv(A_t, xt) + _mv(B_t, u_t) + f_t
+            return xn, xn
+        _, xs = jax.lax.scan(
+            roll, x0,
+            (jnp.swapaxes(A, 0, 1), jnp.swapaxes(B, 0, 1),
+             jnp.swapaxes(f, 0, 1), jnp.swapaxes(u[:, :-1], 0, 1)),
+        )
+        x = jnp.concatenate([x0[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
+    lam = jnp.zeros((bsz, T, nx), dt)
+    s_hi = jnp.clip(u_hi - u, 0.1)
+    s_lo = jnp.clip(u - u_lo, 0.1)
+    z_hi = jnp.ones((bsz, T, nu), dt)
+    z_lo = jnp.ones((bsz, T, nu), dt)
+    n_comp = 2 * T * nu
+
+    def full_residuals(x, u, lam, z_hi, z_lo, s_hi, s_lo):
+        r_x, r_u = _stationarity(cb, x, u, lam, z_hi, z_lo, A, B)
+        r_dyn = x[:, 1:] - (_mv(A, x[:, :-1]) + _mv(B, u[:, :-1]) + f)
+        r_init = x[:, 0] - x0
+        r_p_hi = u - u_hi + s_hi
+        r_p_lo = u_lo - u + s_lo
+        r_s_hi = s_hi * z_hi
+        r_s_lo = s_lo * z_lo
+        return r_x, r_u, r_dyn, r_init, r_p_hi, r_p_lo, r_s_hi, r_s_lo
+
+    def resid_norm(rs):
+        r_x, r_u, r_dyn, r_init, r_p_hi, r_p_lo, r_s_hi, r_s_lo = rs
+        mu = (jnp.sum(r_s_hi, axis=(1, 2)) + jnp.sum(r_s_lo, axis=(1, 2))) / n_comp
+        pri = (jnp.linalg.norm(r_dyn.reshape(bsz, -1), axis=1)
+               + jnp.linalg.norm(r_init, axis=1)
+               + jnp.linalg.norm(r_p_hi.reshape(bsz, -1), axis=1)
+               + jnp.linalg.norm(r_p_lo.reshape(bsz, -1), axis=1))
+        dual = (jnp.linalg.norm(r_x.reshape(bsz, -1), axis=1)
+                + jnp.linalg.norm(r_u.reshape(bsz, -1), axis=1))
+        return pri + dual + n_comp * jnp.abs(mu), mu
+
+    def kkt_step(z_hi, z_lo, s_hi, s_lo, r_x, r_u, r_dyn, r_init,
+                 r_p_hi, r_p_lo, r_s_hi, r_s_lo):
+        """Eliminate bound rows → Riccati solve → recover (ds, dz)."""
+        d_hi = z_hi / s_hi
+        d_lo = z_lo / s_lo
+        gu_extra = (z_hi * r_p_hi - r_s_hi) / s_hi \
+            - (z_lo * r_p_lo - r_s_lo) / s_lo
+        Cuu_eff = cb.Cuu + jax.vmap(jax.vmap(jnp.diag))(d_hi + d_lo)
+        sol = riccati.batched_lqr_kkt_solve(
+            cb.Cxx, cb.Cxu, Cuu_eff, r_x, r_u + gu_extra,
+            A, B, -r_dyn, -r_init, cfg.reg,
+        )
+        du = sol.du
+        ds_hi = -r_p_hi - du
+        ds_lo = -r_p_lo + du
+        dz_hi = -(r_s_hi + z_hi * ds_hi) / s_hi
+        dz_lo = -(r_s_lo + z_lo * ds_lo) / s_lo
+        return sol.dx, du, sol.lam, ds_hi, ds_lo, dz_hi, dz_lo
+
+    def max_step(v, dv):
+        big = jnp.asarray(jnp.finfo(dt).max, dt)
+        steps = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), big)
+        return jnp.minimum(jnp.min(steps.reshape(bsz, -1), axis=1), 1.0)
+
+    def body(carry, _):
+        x, u, lam, z_hi, z_lo, s_hi, s_lo, best = carry
+        rs = full_residuals(x, u, lam, z_hi, z_lo, s_hi, s_lo)
+        r_x, r_u, r_dyn, r_init, r_p_hi, r_p_lo, r_s_hi, r_s_lo = rs
+        total, mu = resid_norm(rs)
+
+        # best-iterate tracking
+        b_tot, bx, bu, blam, bzh, bzl, bsh, bsl = best
+        better = total < b_tot
+        sel = lambda nw, old: jnp.where(
+            better.reshape((-1,) + (1,) * (nw.ndim - 1)), nw, old)
+        best = (jnp.minimum(total, b_tot), sel(x, bx), sel(u, bu),
+                sel(lam, blam), sel(z_hi, bzh), sel(z_lo, bzl),
+                sel(s_hi, bsh), sel(s_lo, bsl))
+
+        # affine (predictor)
+        dx_a, du_a, dl_a, dsh_a, dsl_a, dzh_a, dzl_a = kkt_step(
+            z_hi, z_lo, s_hi, s_lo, *rs)
+        a_aff = jnp.minimum(
+            jnp.minimum(max_step(s_hi, dsh_a), max_step(s_lo, dsl_a)),
+            jnp.minimum(max_step(z_hi, dzh_a), max_step(z_lo, dzl_a)))
+        a = a_aff.reshape(bsz, 1, 1)
+        mu_aff = (jnp.sum((s_hi + a * dsh_a) * (z_hi + a * dzh_a), axis=(1, 2))
+                  + jnp.sum((s_lo + a * dsl_a) * (z_lo + a * dzl_a), axis=(1, 2))
+                  ) / n_comp
+        sigma = (mu_aff / jnp.maximum(mu, 1e-300)) ** 3
+
+        # centering-corrector (zero other residuals; batch_LU.py:169-179)
+        smu = (sigma * mu)[:, None, None]
+        rc_s_hi = dsh_a * dzh_a - smu
+        rc_s_lo = dsl_a * dzl_a - smu
+        zr = jnp.zeros_like
+        dx_c, du_c, dl_c, dsh_c, dsl_c, dzh_c, dzl_c = kkt_step(
+            z_hi, z_lo, s_hi, s_lo, zr(r_x), zr(r_u), zr(r_dyn), zr(r_init),
+            zr(r_p_hi), zr(r_p_lo), rc_s_hi, rc_s_lo)
+
+        dx, du, dl = dx_a + dx_c, du_a + du_c, dl_a + dl_c
+        dsh, dsl = dsh_a + dsh_c, dsl_a + dsl_c
+        dzh, dzl = dzh_a + dzh_c, dzl_a + dzl_c
+        alpha = 0.99 * jnp.minimum(
+            jnp.minimum(max_step(s_hi, dsh), max_step(s_lo, dsl)),
+            jnp.minimum(max_step(z_hi, dzh), max_step(z_lo, dzl)))
+        a = alpha.reshape(bsz, 1, 1)
+        return (x + a * dx, u + a * du, lam + a * dl,
+                jnp.maximum(z_hi + a * dzh, cfg.min_slack),
+                jnp.maximum(z_lo + a * dzl, cfg.min_slack),
+                jnp.maximum(s_hi + a * dsh, cfg.min_slack),
+                jnp.maximum(s_lo + a * dsl, cfg.min_slack), best), None
+
+    best0 = (jnp.full((bsz,), jnp.inf, dt), x, u, lam, z_hi, z_lo, s_hi, s_lo)
+    carry0 = (x, u, lam, z_hi, z_lo, s_hi, s_lo, best0)
+    (x, u, lam, z_hi, z_lo, s_hi, s_lo, best), _ = jax.lax.scan(
+        body, carry0, None, length=cfg.max_iter)
+
+    total, _ = resid_norm(full_residuals(x, u, lam, z_hi, z_lo, s_hi, s_lo))
+    b_tot, bx, bu, blam, bzh, bzl, bsh, bsl = best
+    better = total < b_tot
+    sel = lambda nw, old: jnp.where(
+        better.reshape((-1,) + (1,) * (nw.ndim - 1)), nw, old)
+    return TrajQPSolution(
+        x=sel(x, bx), u=sel(u, bu), lam=sel(lam, blam),
+        z_hi=sel(z_hi, bzh), z_lo=sel(z_lo, bzl),
+        s_hi=sel(s_hi, bsh), s_lo=sel(s_lo, bsl),
+        resids=jnp.minimum(total, b_tot),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable layer: gradients w.r.t. (C, c, x0) — the parameters the
+# MPC learning stack differentiates (Tracking_MPC supplies cost only;
+# qp.py:238-270 backward math specialized to the trajectory structure).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7,))
+def traj_qp_layer(C, c, A, B, f, x0, bounds, cfg: TrajQPConfig = TrajQPConfig()):
+    sol = solve(C, c, A, B, f, x0, bounds, cfg)
+    return jnp.concatenate([sol.x, sol.u], axis=-1)
+
+
+def _fwd(C, c, A, B, f, x0, bounds, cfg):
+    sol = solve(C, c, A, B, f, x0, bounds, cfg)
+    return (jnp.concatenate([sol.x, sol.u], axis=-1),
+            (C, c, A, B, f, x0, bounds, sol))
+
+
+def _bwd(cfg, saved, dl_dw):
+    C, c, A, B, f, x0, bounds, sol = saved
+    bsz, Tm1, nx, nu = B.shape
+    T = Tm1 + 1
+    cb = split_cost(C, c, nx)
+    # one extra KKT solve with dl/dw as stationarity rhs and clamped
+    # D = z/s (qp.py:149 clamp semantics)
+    z_hi = jnp.clip(sol.z_hi, 1e-8)
+    z_lo = jnp.clip(sol.z_lo, 1e-8)
+    s_hi = jnp.clip(sol.s_hi, 1e-8)
+    s_lo = jnp.clip(sol.s_lo, 1e-8)
+    d = z_hi / s_hi + z_lo / s_lo
+    Cuu_eff = cb.Cuu + jax.vmap(jax.vmap(jnp.diag))(d)
+    rsol = riccati.batched_lqr_kkt_solve(
+        cb.Cxx, cb.Cxu, Cuu_eff, dl_dw[..., :nx], dl_dw[..., nx:],
+        A, B, jnp.zeros_like(f), jnp.zeros((bsz, nx), C.dtype), cfg.reg,
+    )
+    # lqr_kkt_solve with gradient rhs g̃ solves C̃v + Eᵀλ = −g̃, which is
+    # exactly the OptNet backward system K[dz; dν] = −[∂L/∂z; 0]
+    dw = jnp.concatenate([rsol.dx, rsol.du], axis=-1)  # dz in OptNet notation
+    w = jnp.concatenate([sol.x, sol.u], axis=-1)
+    # dC = ½(dw wᵀ + w dwᵀ) per time block; dc = dw (qp.py:174,158)
+    dC = 0.5 * (jnp.einsum("bti,btj->btij", dw, w, precision=_PREC)
+                + jnp.einsum("bti,btj->btij", w, dw, precision=_PREC))
+    dc = dw
+    # dx0 = −dν_init (the db rule, qp.py:167 — init row multiplier is lam[0])
+    dx0 = -rsol.lam[:, 0]
+    zeros = lambda v: jax.tree.map(jnp.zeros_like, v)
+    return dC, dc, zeros(A), zeros(B), zeros(f), dx0, zeros(bounds)
+
+
+traj_qp_layer.defvjp(_fwd, _bwd)
