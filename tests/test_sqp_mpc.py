@@ -1,0 +1,117 @@
+"""SQP MPC (qp_wrapper analog): exactness on linear systems, convergence on
+nonlinear pendulum (including the long-horizon case penalty methods stall
+on), differentiability (mpc_test.py:81-93 analog)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diff_qp_mpc_tpu.core.types import Bounds, DiagQuadCost, QuadCost
+from diff_qp_mpc_tpu.models import Integrator, Pendulum
+from diff_qp_mpc_tpu.solvers import sqp_mpc, trajqp
+from diff_qp_mpc_tpu.solvers.sqp_mpc import SQPConfig
+
+
+def tracking_cost(bsz, T, nx, nu, q=10.0, r=0.01, dtype=jnp.float64):
+    n = nx + nu
+    Cd = jnp.concatenate(
+        [jnp.full((bsz, T, nx), q, dtype), jnp.full((bsz, T, nu), r, dtype)], -1)
+    return DiagQuadCost(Cd=Cd, c=jnp.zeros((bsz, T, n), dtype))
+
+
+def test_linear_system_matches_trajqp():
+    """For linear dynamics the SQP solution = the single trajectory QP."""
+    model = Integrator(nx=2, nu=1, dt=0.1)
+    bsz, T, nx, nu = 3, 6, 2, 1
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (bsz, nx), jnp.float64)
+    cost = tracking_cost(bsz, T, nx, nu)
+    bounds = Bounds(u_lo=jnp.array([-3.0]), u_hi=jnp.array([3.0]))
+    u0 = jnp.zeros((bsz, T, nu), jnp.float64)
+
+    res = sqp_mpc.solve(model, cost, x0, bounds, u0,
+                        cfg=SQPConfig(qp_iter=3), differentiable=False)
+
+    A = jnp.broadcast_to(jnp.array([[1.0, 0.1], [0.0, 1.0]]), (bsz, T - 1, nx, nx))
+    B = jnp.broadcast_to(jnp.array([[0.01], [0.1]]), (bsz, T - 1, nx, nu))
+    f = jnp.zeros((bsz, T - 1, nx), jnp.float64)
+    n = nx + nu
+    C = jax.vmap(jax.vmap(jnp.diag))(cost.Cd)
+    sol = trajqp.solve(C, cost.c, A, B, f, x0, bounds)
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(sol.u),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(sol.x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pendulum_long_horizon_feasible_and_improving():
+    """T=40 nonlinear pendulum from hanging — the case where the AL/GN
+    method stalls; shooting SQP must return a dynamically feasible
+    trajectory with decreasing cost."""
+    model = Pendulum()
+    bsz, T, nx, nu = 4, 40, 2, 1
+    x0 = jnp.concatenate(
+        [jnp.full((bsz, 1), jnp.pi), jnp.zeros((bsz, 1))], -1).astype(jnp.float64)
+    cost = tracking_cost(bsz, T, nx, nu, q=10.0, r=0.001)
+    bounds = Bounds(u_lo=jnp.array([-3.0]), u_hi=jnp.array([3.0]))
+    u0 = jnp.zeros((bsz, T, nu), jnp.float64)
+
+    res = sqp_mpc.solve(model, cost, x0, bounds, u0,
+                        cfg=SQPConfig(qp_iter=20), differentiable=False)
+    # dynamics feasibility: x must equal rollout of u up to the final
+    # partial QP step (alpha-blended); re-check via rollout distance
+    x_roll = model.rollout(x0, res.u)
+    dyn_gap = float(jnp.abs(res.x - x_roll).max())
+    assert dyn_gap < 0.2, dyn_gap
+    # cost strictly better than the initial (u=0) trajectory
+    w0 = jnp.concatenate([model.rollout(x0, u0), u0], -1)
+    from diff_qp_mpc_tpu.ops import almerit
+    n = nx + nu
+    C = jax.vmap(jax.vmap(jnp.diag))(cost.Cd)
+    cost0 = almerit.compute_cost(QuadCost(C=C, c=cost.c), w0)
+    # strict improvement; the ~19% gain observed is an SQP fixed point
+    # (swing-up's global optimum is not reachable from u=0 by local
+    # methods of this class — the reference behaves the same way)
+    assert float(res.cost.max() - cost0.max()) < 0.0
+    assert float(res.cost.mean()) < 0.85 * float(cost0.mean())
+    assert float(jnp.abs(res.u).max()) <= 3.0 + 1e-6
+
+
+def test_bounds_respected():
+    model = Integrator(nx=2, nu=1, dt=0.1)
+    bsz, T = 4, 8
+    x0 = 5.0 * jnp.ones((bsz, 2), jnp.float64)  # far away → saturating
+    cost = tracking_cost(bsz, T, 2, 1)
+    bounds = Bounds(u_lo=jnp.array([-1.0]), u_hi=jnp.array([1.0]))
+    res = sqp_mpc.solve(model, cost, x0, bounds,
+                        jnp.zeros((bsz, T, 1), jnp.float64),
+                        cfg=SQPConfig(qp_iter=5), differentiable=False)
+    assert float(jnp.abs(res.u).max()) <= 1.0 + 1e-6
+
+
+def test_differentiable_through_solution():
+    """autograd through the MPC solution (mpc_test.py:93 analog) + FD check
+    on the tracking-target gradient."""
+    model = Integrator(nx=2, nu=1, dt=0.1)
+    bsz, T, nx, nu = 2, 5, 2, 1
+    x0 = jnp.array([[1.0, 0.0], [-0.5, 0.2]], jnp.float64)
+    bounds = Bounds(u_lo=jnp.array([-3.0]), u_hi=jnp.array([3.0]))
+    u0 = jnp.zeros((bsz, T, nu), jnp.float64)
+    Cd = tracking_cost(bsz, T, nx, nu).Cd
+
+    def loss(c):
+        res = sqp_mpc.solve(model, DiagQuadCost(Cd=Cd, c=c), x0, bounds, u0,
+                            cfg=SQPConfig(qp_iter=3))
+        return jnp.sum(res.x**2) + jnp.sum(res.u**2)
+
+    c0 = jnp.zeros((bsz, T, nx + nu), jnp.float64)
+    g = jax.grad(loss)(c0)
+    assert float(jnp.abs(g).max()) > 0  # gradients flow
+    eps = 1e-6
+    rng = np.random.RandomState(0)
+    flat = np.zeros(c0.size)
+    for ci in rng.choice(c0.size, size=4, replace=False):
+        e = flat.copy()
+        e[ci] = eps
+        pert = jnp.asarray(e.reshape(c0.shape))
+        fd = (float(loss(c0 + pert)) - float(loss(c0 - pert))) / (2 * eps)
+        gi = float(np.asarray(g).reshape(-1)[ci])
+        assert abs(gi - fd) < 1e-2 + 1e-2 * abs(fd), (ci, gi, fd)
