@@ -13,3 +13,7 @@ from diff_qp_mpc_tpu.models.base import (
 )
 from diff_qp_mpc_tpu.models.integrator import Integrator
 from diff_qp_mpc_tpu.models.pendulum import Pendulum, PendulumCosSin
+from diff_qp_mpc_tpu.models.cartpole import Cartpole1L, Cartpole2L, CartpoleCosSin
+from diff_qp_mpc_tpu.models.lagrangian import lagrangian_ode, manipulator_accel
+from diff_qp_mpc_tpu.models.quadrotor import RexQuadrotor
+from diff_qp_mpc_tpu.models import rotation

@@ -1,0 +1,168 @@
+"""1-link and 2-link cartpole dynamics via the Lagrangian engine.
+
+Capability parity with the reference's analytic torch models
+(deqmpc/envs_v1.py:28-94 OneLinkCartpoleDynamics, :226-321
+TwoLinkCartpoleDynamics — the latter hardcodes expressions generated for
+M=5, m₁=m₂=1, l₁=l₂=1 from the OpenOCL double-cartpole tutorial) and the
+CasADi packages (deqmpc/my_envs/cartpole1l, cartpole2l). Here both are
+*parameterized* models derived automatically from their energies
+(models.lagrangian), RK4-integrated like the reference.
+
+Conventions (matching envs_v1): pole angles measured from the DOWNWARD
+vertical, anticlockwise positive; upright is θ = π. Point masses at link
+ends. Control is a horizontal force on the cart.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from diff_qp_mpc_tpu.models.base import DynamicsModel, rk4
+from diff_qp_mpc_tpu.models.lagrangian import lagrangian_ode
+
+Array = jnp.ndarray
+
+
+class Cartpole1L(DynamicsModel):
+    """State (x, θ, ẋ, θ̇); reference params envs_v1.py:35-40
+    (dt=0.01, max_force=500, M=0.5, m=0.2, l=0.5, g=9.81)."""
+
+    def __init__(self, dt: float = 0.01, M: float = 0.5, m: float = 0.2,
+                 l: float = 0.5, g: float = 9.81, max_force: float = 500.0):
+        self.dt = dt
+        self.M = M
+        self.m = m
+        self.l = l
+        self.g = g
+        self.max_force = max_force
+        self.nx = 4
+        self.nu = 1
+        self.nq = 2
+
+        M_, m_, l_, g_ = M, m, l, g
+
+        def kinetic(q, qd):
+            xd, thd = qd[0], qd[1]
+            th = q[1]
+            # pole end-point velocity: (ẋ + l θ̇ cosθ, l θ̇ sinθ)
+            v2 = xd**2 + (l_ * thd) ** 2 + 2 * l_ * thd * xd * jnp.cos(th)
+            return 0.5 * M_ * xd**2 + 0.5 * m_ * v2
+
+        def potential(q):
+            # height of pole mass: −l cosθ (θ from downward)
+            return -m_ * g_ * l_ * jnp.cos(q[1])
+
+        def input_map(q, u):
+            return jnp.concatenate([u, jnp.zeros(1, u.dtype)])
+
+        self._ode = lagrangian_ode(kinetic, potential, input_map)
+
+    def step(self, x: Array, u: Array) -> Array:
+        return rk4(self._ode, x, u, self.dt)
+
+    def action_clip(self, u: Array) -> Array:
+        return jnp.clip(u, -self.max_force, self.max_force)
+
+    def __hash__(self):
+        return hash((type(self), self.dt, self.M, self.m, self.l, self.g))
+
+
+class Cartpole2L(DynamicsModel):
+    """State (x, θ₁, θ₂, ẋ, θ̇₁, θ̇₂) with θ₂ relative to link 1; reference
+    params envs_v1.py:233-239 (dt=0.05, max_force=5 [sic — the C++ package
+    env uses larger], M=5, m₁=m₂=1, l₁=l₂=1, g=9.81)."""
+
+    def __init__(self, dt: float = 0.05, M: float = 5.0, m1: float = 1.0,
+                 m2: float = 1.0, l1: float = 1.0, l2: float = 1.0,
+                 g: float = 9.81, max_force: float = 500.0):
+        self.dt = dt
+        self.M = M
+        self.m1 = m1
+        self.m2 = m2
+        self.l1 = l1
+        self.l2 = l2
+        self.g = g
+        self.max_force = max_force
+        self.nx = 6
+        self.nu = 1
+        self.nq = 3
+
+        M_, m1_, m2_, l1_, l2_, g_ = M, m1, m2, l1, l2, g
+
+        def kinetic(q, qd):
+            th1, th2 = q[1], q[2]
+            xd, w1, w2 = qd[0], qd[1], qd[2]
+            w12 = w1 + w2  # absolute rate of link 2
+            # link-1 endpoint velocity
+            v1x = xd + l1_ * w1 * jnp.cos(th1)
+            v1y = l1_ * w1 * jnp.sin(th1)
+            # link-2 endpoint velocity
+            v2x = v1x + l2_ * w12 * jnp.cos(th1 + th2)
+            v2y = v1y + l2_ * w12 * jnp.sin(th1 + th2)
+            return (0.5 * M_ * xd**2
+                    + 0.5 * m1_ * (v1x**2 + v1y**2)
+                    + 0.5 * m2_ * (v2x**2 + v2y**2))
+
+        def potential(q):
+            th1, th2 = q[1], q[2]
+            h1 = -l1_ * jnp.cos(th1)
+            h2 = h1 - l2_ * jnp.cos(th1 + th2)
+            return g_ * (m1_ * h1 + m2_ * h2)
+
+        def input_map(q, u):
+            return jnp.concatenate([u, jnp.zeros(2, u.dtype)])
+
+        self._ode = lagrangian_ode(kinetic, potential, input_map)
+
+    def step(self, x: Array, u: Array) -> Array:
+        return rk4(self._ode, x, u, self.dt)
+
+    def action_clip(self, u: Array) -> Array:
+        return jnp.clip(u, -self.max_force, self.max_force)
+
+    def __hash__(self):
+        return hash((type(self), self.dt, self.M, self.m1, self.m2,
+                     self.l1, self.l2, self.g))
+
+
+class CartpoleCosSin(DynamicsModel):
+    """Legacy 5-state (x, ẋ, cosθ, sinθ, θ̇) cartpole, the qpth env_dx
+    encoding (qpth/env_dx/cartpole.py:28-96): classic Gym cartpole physics
+    (half-pole 4/3 moment factor), Euler integration, θ from upright."""
+
+    def __init__(self, dt: float = 0.05, g: float = 9.8, masscart: float = 1.0,
+                 masspole: float = 0.1, length: float = 0.5,
+                 force_mag: float = 100.0):
+        self.dt = dt
+        self.g = g
+        self.masscart = masscart
+        self.masspole = masspole
+        self.length = length
+        self.force_mag = force_mag
+        self.nx = 5
+        self.nu = 1
+        self.nq = 3
+
+    def step(self, x: Array, u: Array) -> Array:
+        g, mc, mp, l = self.g, self.masscart, self.masspole, self.length
+        total = mc + mp
+        pml = mp * l
+        f = jnp.clip(u[..., 0], -self.force_mag, self.force_mag)
+        pos, dpos, cos_th, sin_th, dth = (x[..., 0], x[..., 1], x[..., 2],
+                                          x[..., 3], x[..., 4])
+        th = jnp.arctan2(sin_th, cos_th)
+        cart_in = (f + pml * dth**2 * sin_th) / total
+        th_acc = (g * sin_th - cos_th * cart_in) / (
+            l * (4.0 / 3.0 - mp * cos_th**2 / total))
+        x_acc = cart_in - pml * th_acc * cos_th / total
+        pos = pos + self.dt * dpos
+        dpos = dpos + self.dt * x_acc
+        th = th + self.dt * dth
+        dth = dth + self.dt * th_acc
+        return jnp.stack([pos, dpos, jnp.cos(th), jnp.sin(th), dth], axis=-1)
+
+    def action_clip(self, u: Array) -> Array:
+        return jnp.clip(u, -self.force_mag, self.force_mag)
+
+    def __hash__(self):
+        return hash((type(self), self.dt, self.g, self.masscart,
+                     self.masspole, self.length))
