@@ -1,0 +1,92 @@
+"""Expert-trajectory data pipeline.
+
+Rebuild of deqmpc/datagen.py:278-408 (save_expert_traj / get_gt_data /
+merge_gt_data / sample_trajectory), format-compatible with the reference's
+pickled datasets (``data/expert_traj_<type>-<spec_id>_new.pkl``: a list of
+trajectories, each a list of (state, action) pairs — numpy arrays or torch
+tensors, both accepted).
+
+The sampler reproduces the reference semantics exactly: uniform random
+start indices into the concatenated data, windows crossing an episode end
+get masked out from the crossing point on (cumulative product of the
+per-step masks, datagen.py:404-405), windows running past the data end are
+zero-padded. Sampling is pure numpy on host (it's data loading); the
+returned batch is device-ready.
+"""
+from __future__ import annotations
+
+import pickle
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+Array = np.ndarray
+
+
+def _to_numpy(a) -> Array:
+    if hasattr(a, "detach"):  # torch tensor from reference pickles
+        return a.detach().cpu().numpy()
+    return np.asarray(a)
+
+
+def merge_trajectories(trajs: Sequence[Sequence[Tuple]]) -> Dict[str, Array]:
+    """List-of-trajectories → flat arrays + mask (0 marks episode ends)
+    (datagen.py:329-355 merge_gt_data)."""
+    states, actions, mask = [], [], []
+    for traj in trajs:
+        for state, action in traj:
+            states.append(_to_numpy(state).reshape(-1))
+            actions.append(_to_numpy(action).reshape(-1))
+            mask.append(1.0)
+        mask[-1] = 0.0
+    return {
+        "state": np.asarray(states, np.float32),
+        "action": np.asarray(actions, np.float32),
+        "mask": np.asarray(mask, np.float32),
+    }
+
+
+def load_expert_pickle(path: str) -> Dict[str, Array]:
+    """Load a reference-format expert pickle and merge it."""
+    with open(path, "rb") as f:
+        trajs = pickle.load(f)
+    if isinstance(trajs, dict):  # already merged
+        return {k: _to_numpy(v) for k, v in trajs.items()}
+    return merge_trajectories(trajs)
+
+
+def save_expert_pickle(path: str, trajs: List[List[Tuple[Array, Array]]]):
+    """datagen.py:307-308 format."""
+    with open(path, "wb") as f:
+        pickle.dump(trajs, f)
+
+
+def sample_window_batch(data: Dict[str, Array], bsz: int, T: int,
+                        rng: np.random.RandomState) -> Dict[str, Array]:
+    """Random T-windows with cumulative masking (datagen.py:358-408)."""
+    N = len(data["state"])
+    states, actions, masks = [], [], []
+    while len(states) < bsz:
+        i = int(rng.randint(0, N))
+        if data["mask"][i] == 0:  # never start at an episode end
+            continue
+        if i + T <= N:
+            s = data["state"][i:i + T]
+            a = data["action"][i:i + T]
+            m = data["mask"][i:i + T]
+        else:
+            pad = i + T - N
+            z = lambda arr: np.concatenate(
+                [arr[i:], np.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
+            s, a, m = z(data["state"]), z(data["action"]), z(data["mask"])
+        states.append(s)
+        actions.append(a)
+        masks.append(m)
+    out = {
+        "state": np.stack(states),
+        "action": np.stack(actions),
+        "mask": np.stack(masks),
+    }
+    # cumulative product: once masked, stay masked (datagen.py:404-405)
+    out["mask"] = np.cumprod(out["mask"], axis=1)
+    return out

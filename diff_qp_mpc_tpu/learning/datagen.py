@@ -1,0 +1,121 @@
+"""Expert-trajectory generation (rebuild of deqmpc/datagen.py).
+
+MPC experts for every env (the reference additionally rolls out pre-trained
+SAC/PPO/CGAC checkpoints, datagen.py:145-276 — those checkpoints are
+loadable through learning.data if present; the solver experts here
+regenerate equivalent datasets from scratch). Output is the reference
+pickle format: a list of trajectories, each a list of (state, action)
+numpy pairs (datagen.py:278-308), written to
+``data/expert_traj_mpc-<spec_id>_new.pkl``.
+
+Usage: python -m diff_qp_mpc_tpu.learning.datagen --env integrator \
+           --num_traj 200 --T 30
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diff_qp_mpc_tpu.core.types import Bounds, DiagQuadCost
+from diff_qp_mpc_tpu.envs import make_env
+from diff_qp_mpc_tpu.learning.data import save_expert_pickle
+from diff_qp_mpc_tpu.solvers import sqp_mpc
+from diff_qp_mpc_tpu.solvers.sqp_mpc import SQPConfig
+
+
+def mpc_expert_rollouts(env, num_traj: int, T: int = 30, max_steps: int = 200,
+                        seed: int = 0, qp_iter: int = 5):
+    """Batched receding-horizon SQP-MPC expert (the role of
+    datagen.py:24-143 PendulumExpert/get_*_expert_traj_mpc, using the
+    shooting solver for long-horizon robustness)."""
+    model = env.model
+    nx, nu = env.nx, env.nu
+    bsz = num_traj
+    n = nx + nu
+    Q = jnp.asarray(env.Qlqr, jnp.float64)
+    R = jnp.asarray(env.Rlqr, jnp.float64)
+    Cd = jnp.broadcast_to(jnp.concatenate([Q, R]), (bsz, T, n))
+    goal = getattr(env, "goal", jnp.zeros((nx,)))
+    xu_goal = jnp.concatenate([jnp.asarray(goal, jnp.float64), jnp.zeros((nu,))])
+    cost = DiagQuadCost(Cd=Cd, c=jnp.broadcast_to(-Cd * xu_goal, (bsz, T, n)))
+    bounds = Bounds(
+        u_lo=jnp.asarray(env.action_space.low, jnp.float64),
+        u_hi=jnp.asarray(env.action_space.high, jnp.float64),
+    )
+    cfg = SQPConfig(qp_iter=qp_iter)
+
+    @jax.jit
+    def plan(x0, u_ws):
+        res = sqp_mpc.solve(model, cost, x0, bounds, u_ws,
+                            cfg=cfg, differentiable=False)
+        return res.x, res.u
+
+    key = jax.random.PRNGKey(seed)
+    state = env.reset(key, bsz)
+    u_ws = jnp.zeros((bsz, T, nu), jnp.float64)
+
+    xs, us, dones = [], [], []
+    done_seen = jnp.zeros((bsz,), bool)
+    for _ in range(max_steps):
+        x = state.x.astype(jnp.float64)
+        _, u_plan = plan(x, u_ws)
+        u0 = u_plan[:, 0]
+        xs.append(np.asarray(x, np.float32))
+        us.append(np.asarray(u0, np.float32))
+        state, _, done = env.step(state, u0.astype(state.x.dtype))
+        done_seen = done_seen | done
+        dones.append(np.asarray(done_seen))
+        u_ws = jnp.concatenate([u_plan[:, 1:], u_plan[:, -1:]], axis=1)
+        if bool(done_seen.all()):
+            break
+
+    # split batch into per-trajectory (state, action) lists, truncated at done
+    trajs = []
+    steps = len(xs)
+    for b in range(bsz):
+        end = steps
+        for t in range(steps):
+            if dones[t][b]:
+                end = t + 1
+                break
+        trajs.append([(xs[t][b], us[t][b]) for t in range(end)])
+    return trajs
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", type=str, default="integrator")
+    p.add_argument("--num_traj", type=int, default=100)
+    p.add_argument("--T", type=int, default=30)
+    p.add_argument("--max_steps", type=int, default=200)
+    p.add_argument("--qp_iter", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (e.g. cpu); the axon sitecustomize\n                   ignores the JAX_PLATFORMS env var, so use this flag")
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--stabilization", action="store_true")
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    kwargs = {}
+    if args.stabilization:
+        kwargs["stabilization"] = True
+    env = make_env(args.env, **kwargs)
+    trajs = mpc_expert_rollouts(env, args.num_traj, args.T, args.max_steps,
+                                args.seed, args.qp_iter)
+    out = args.out or os.path.join(
+        "data", f"expert_traj_mpc-{env.spec_id}_new.pkl")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    save_expert_pickle(out, trajs)
+    lens = [len(t) for t in trajs]
+    print(f"wrote {len(trajs)} trajectories "
+          f"(len min/mean/max {min(lens)}/{np.mean(lens):.1f}/{max(lens)}) to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""DEQ-MPC policies: equilibrium network interleaved with differentiable MPC.
+
+Rebuild of deqmpc/policies.py DEQMPCPolicy/Tracking_MPC/NNMPCPolicy:
+the DEQ cell proposes a reference trajectory, the tracking MPC projects it
+onto the dynamics manifold (AL solve with implicit gradients), and the
+(detached) solution feeds the next equilibrium iteration
+(policies.py:444-529). All solver warm-start state is explicit and
+reinitialized per forward, as the reference does in training
+(policies.py:463-464 reinitialize).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from diff_qp_mpc_tpu.core.types import ALState, Bounds, DiagQuadCost
+from diff_qp_mpc_tpu.learning.deq import DEQLayer
+from diff_qp_mpc_tpu.models.base import DynamicsModel
+from diff_qp_mpc_tpu.solvers import al_mpc
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingMPC:
+    """Diagonal-cost tracking MPC wrapper (policies.py:567-687).
+
+    Builds Cd = diag(Q, R) and p = −Cd·τ_ref (policies.py:669-680) and
+    solves the box-constrained AL-MPC. Stateless; AL warm-start state is
+    passed explicitly.
+    """
+
+    model: DynamicsModel
+    T: int
+    Q: Tuple[float, ...]  # per-state weights (len nx)
+    R: Tuple[float, ...]  # per-control weights (len nu)
+    u_lo: Tuple[float, ...]
+    u_hi: Tuple[float, ...]
+    cfg: al_mpc.ALConfig = al_mpc.ALConfig()
+
+    def bounds(self, dtype=jnp.float32) -> Bounds:
+        return Bounds(u_lo=jnp.asarray(self.u_lo, dtype),
+                      u_hi=jnp.asarray(self.u_hi, dtype))
+
+    def cost(self, xu_ref: Array) -> DiagQuadCost:
+        bsz, T, n = xu_ref.shape
+        Cd = jnp.broadcast_to(
+            jnp.asarray(self.Q + self.R, xu_ref.dtype), (bsz, T, n))
+        return DiagQuadCost(Cd=Cd, c=-Cd * xu_ref)
+
+    def init_state(self, bsz: int, dtype=jnp.float32) -> ALState:
+        nx, nu = self.model.nx, self.model.nu
+        return ALState.init(bsz, self.T, nx, nu,
+                            hist_len=self.cfg.al_iter + 1, dtype=dtype)
+
+    def solve(self, x0: Array, x_ref: Array, u_ref: Array, state: ALState,
+              x_init: Optional[Array] = None, u_init: Optional[Array] = None):
+        xu_ref = jnp.concatenate([x_ref, u_ref], axis=-1)
+        cost = self.cost(xu_ref)
+        x, u, new_state, stats = al_mpc.solve(
+            self.model, cost, x0, self.bounds(x0.dtype), state, self.cfg,
+            x_init=x_init, u_init=u_init)
+        return x, u, new_state, stats
+
+
+class DEQMPCRollout(NamedTuple):
+    """One DEQ-MPC iterate (reference trajs entries, policies.py:515)."""
+
+    net_states: Array  # [bsz, T, nx] network proposal
+    states: Array  # [bsz, T, nx] MPC-projected states
+    actions: Array  # [bsz, T, nu] MPC actions
+
+
+class DEQMPCPolicy(nn.Module):
+    """policies.py:426-529. __call__(x, qp_solve, lastqp_solve) returns
+    (iterates, dyn_res): ``iterates`` stacks every DEQ-MPC iteration
+    (all are supervised by the loss), dyn_res is the mean dynamics
+    residual of the final reference (diagnostic, policies.py:521)."""
+
+    nx: int
+    nu: int
+    nq: int
+    T: int
+    hdim: int
+    dt: float
+    tracking: TrackingMPC
+    deq_iter: int = 6
+    out_type: int = 2  # DEQ layer output type (state estimate + prediction)
+
+    @nn.compact
+    def __call__(self, x: Array, qp_solve: bool = True,
+                 lastqp_solve: bool = False) -> Tuple[List[DEQMPCRollout], Array]:
+        bsz = x.shape[0]
+        layer = DEQLayer(nx=self.nx, nu=self.nu, nq=self.nq, T=self.T,
+                         hdim=self.hdim, dt=self.dt, out_type=self.out_type)
+        z = layer.init_z(bsz, x.dtype)
+        x_ref_flat = jnp.tile(x, (1, self.T))  # initial estimate: current
+        # state repeated (policies.py:455)
+        actions = jnp.zeros((bsz, self.T, self.nu), x.dtype)
+        al_state = self.tracking.init_state(bsz, x.dtype)
+
+        iterates = []
+        x_ref = None
+        for _ in range(self.deq_iter):
+            x_ref, z = layer(x, x_ref_flat, z)
+            if self.out_type == 1:
+                x_ref = jnp.concatenate([x[:, None], x_ref], axis=1)
+            net_states = x_ref
+            states, acts = net_states, actions
+            if qp_solve:
+                states, acts, al_state, _ = self.tracking.solve(
+                    x, x_ref, actions, al_state,
+                    x_init=x_ref, u_init=actions)
+            iterates.append(DEQMPCRollout(net_states=net_states,
+                                          states=states, actions=acts))
+            actions = jax.lax.stop_gradient(acts)
+            # solution feeds the next equilibrium iteration, detached
+            # (policies.py:517-518)
+            x_ref_flat = jax.lax.stop_gradient(states).reshape(bsz, -1)
+
+        if lastqp_solve and not qp_solve:
+            states, acts, al_state, _ = self.tracking.solve(
+                x, x_ref, actions, al_state, x_init=x_ref, u_init=actions)
+            iterates[-1] = DEQMPCRollout(
+                net_states=iterates[-1].net_states, states=states, actions=acts)
+
+        # dynamics residual of the final reference (policies.py:521-522)
+        xr = iterates[-1].states
+        x_next = self.tracking.model(
+            xr[:, :-1].reshape(-1, self.nx),
+            iterates[-1].actions[:, :-1].reshape(-1, self.nu),
+        ).reshape(bsz, self.T - 1, self.nx)
+        dyn_res = jnp.linalg.norm(
+            (xr[:, 1:] - x_next).reshape(bsz, -1), axis=-1).mean()
+        return iterates, dyn_res
+
+
+class NNMPCPolicy(nn.Module):
+    """Feedforward net + tracking MPC (policies.py:689-716)."""
+
+    nx: int
+    nu: int
+    nq: int
+    T: int
+    hdim: int
+    tracking: TrackingMPC
+
+    @nn.compact
+    def __call__(self, x: Array):
+        from diff_qp_mpc_tpu.learning.deq import FFDNetwork
+
+        bsz = x.shape[0]
+        pos_ref = FFDNetwork(nq=self.nq, T=self.T, hdim=self.hdim)(x)
+        x_ref = jnp.concatenate(
+            [pos_ref, jnp.zeros((bsz, self.T, self.nx - self.nq), x.dtype)], -1)
+        al_state = self.tracking.init_state(bsz, x.dtype)
+        u0 = jnp.zeros((bsz, self.T, self.nu), x.dtype)
+        states, actions, _, _ = self.tracking.solve(x, x_ref, u0, al_state)
+        return states, actions

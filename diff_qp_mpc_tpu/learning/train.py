@@ -1,0 +1,207 @@
+"""DEQ-MPC imitation-learning trainer (rebuild of deqmpc/train.py).
+
+CLI-compatible in spirit with the reference (same flag names where they
+exist: --deq --deq_iter --bsz --T --solver_type al --env integrator
+--qp_solve --pretrain --lr --data_noise_type ..., deqmpc/train.py:37-71 and
+run.sh). Differences by design:
+- jitted train step (policy forward + AL-MPC solve + implicit backward as
+  ONE XLA program) instead of eager torch;
+- optimizer state included in checkpoints;
+- metrics to JSON-lines (+TensorBoard when available).
+
+Usage:
+    python -m diff_qp_mpc_tpu.learning.train --env integrator --deq \
+        --deq_iter 6 --bsz 256 --T 5 --qp_solve --iters 2000
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diff_qp_mpc_tpu.envs import make_env
+from diff_qp_mpc_tpu.learning import data as data_mod
+from diff_qp_mpc_tpu.learning import losses as losses_mod
+from diff_qp_mpc_tpu.learning import noise as noise_mod
+from diff_qp_mpc_tpu.learning.deq import NNPolicy
+from diff_qp_mpc_tpu.learning.policies import DEQMPCPolicy, TrackingMPC
+from diff_qp_mpc_tpu.solvers import al_mpc
+from diff_qp_mpc_tpu.utils.checkpoint import save_checkpoint
+from diff_qp_mpc_tpu.utils.metrics import MetricsWriter
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DEQ-MPC imitation learning")
+    p.add_argument("--env", type=str, default="integrator")
+    p.add_argument("--deq", action="store_true")
+    p.add_argument("--deq_iter", type=int, default=6)
+    p.add_argument("--bsz", type=int, default=256)
+    p.add_argument("--T", type=int, default=5)
+    p.add_argument("--hdim", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--iters", type=int, default=20000)
+    p.add_argument("--solver_type", type=str, default="al")
+    p.add_argument("--qp_solve", action="store_true")
+    p.add_argument("--lastqp_solve", action="store_true")
+    p.add_argument("--pretrain", action="store_true")
+    p.add_argument("--pretrain_iters", type=int, default=1000)
+    p.add_argument("--qp_iter", type=int, default=2,
+                   help="AL outer iterations (reference al_iter)")
+    p.add_argument("--deq_out_type", type=int, default=2)
+    p.add_argument("--policy_out_type", type=int, default=2)
+    p.add_argument("--data_noise_type", type=int, default=0)
+    p.add_argument("--data_noise_std", type=float, default=0.0)
+    p.add_argument("--data_noise_mean", type=float, default=0.0)
+    p.add_argument("--data", type=str, default=None,
+                   help="expert pickle path (default: data/expert_traj_*)")
+    p.add_argument("--expert_type", type=str, default="mpc")
+    p.add_argument("--name", type=str, default=None)
+    p.add_argument("--save", action="store_true")
+    p.add_argument("--logdir", type=str, default="./logs")
+    p.add_argument("--ckpt_every", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (e.g. cpu); the axon sitecustomize\n                   ignores the JAX_PLATFORMS env var, so use this flag")
+    p.add_argument("--x64", action="store_true")
+    return p
+
+
+def make_policy(args, env):
+    tracking = TrackingMPC(
+        model=env.model,
+        T=args.T,
+        Q=tuple(float(v) for v in np.asarray(env.Qlqr)),
+        R=tuple(float(v) for v in np.asarray(env.Rlqr)),
+        u_lo=tuple(float(v) for v in env.action_space.low),
+        u_hi=tuple(float(v) for v in env.action_space.high),
+        cfg=al_mpc.ALConfig(al_iter=args.qp_iter),
+    )
+    if args.deq:
+        return DEQMPCPolicy(
+            nx=env.nx, nu=env.nu, nq=env.nq, T=args.T, hdim=args.hdim,
+            dt=env.dt, tracking=tracking, deq_iter=args.deq_iter,
+            out_type=args.deq_out_type,
+        )
+    return NNPolicy(nx=env.nx, nu=env.nu, nq=env.nq, T=args.T,
+                    hdim=args.hdim, dt=env.dt, out_type=args.policy_out_type)
+
+
+def make_train_step(policy, optimizer, args):
+    """One jitted imitation step; ``qp_solve`` is a static argument so
+    pretrain (DEQ-only) and full DEQ-MPC compile separately
+    (reference gating, train.py:146-149)."""
+
+    @functools.partial(jax.jit, static_argnames=("qp_solve",))
+    def step(params, opt_state, batch, key, qp_solve: bool):
+        gt_states = noise_mod.corrupt_observation(
+            key, batch["state"], args.data_noise_type,
+            args.data_noise_std, args.data_noise_mean)
+        gt_actions = batch["action"]
+        gt_mask = batch["mask"]
+        x0 = gt_states[:, 0]
+
+        def loss_fn(params):
+            if args.deq:
+                iterates, dyn_res = policy.apply(
+                    params, x0, qp_solve=qp_solve, lastqp_solve=args.lastqp_solve)
+                if qp_solve:
+                    loss, loss_end = losses_mod.compute_loss_deqmpc(
+                        args.policy_out_type, gt_states, gt_actions, gt_mask,
+                        iterates)
+                else:
+                    loss, loss_end = losses_mod.compute_loss_deq(
+                        gt_states, gt_actions, gt_mask, iterates)
+                return loss, (loss_end, dyn_res)
+            states, actions = policy.apply(params, x0)
+            loss, loss_end = losses_mod.compute_loss_bc(
+                args.policy_out_type, gt_states, gt_actions, gt_mask,
+                states if states is not None else jnp.zeros_like(gt_states),
+                actions if actions is not None else jnp.zeros_like(gt_actions))
+            return loss, (loss_end, jnp.zeros(()))
+
+        (loss, (loss_end, dyn_res)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, loss, loss_end, dyn_res, gnorm
+
+    return step
+
+
+def default_data_path(args, env) -> str:
+    return os.path.join(
+        "data", f"expert_traj_{args.expert_type}-{env.spec_id}_new.pkl")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    env = make_env(args.env)
+    name = args.name or (
+        f"{'deqmpc' if args.deq else 'bc'}_{args.env}_T{args.T}"
+        f"_bsz{args.bsz}_deq_iter{args.deq_iter}")
+    logdir = os.path.join(args.logdir, name)
+    writer = MetricsWriter(logdir)
+
+    data_path = args.data or default_data_path(args, env)
+    dataset = data_mod.load_expert_pickle(data_path)
+    print(f"loaded {len(dataset['state'])} steps from {data_path}")
+
+    policy = make_policy(args, env)
+    rng = np.random.RandomState(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    init_batch = data_mod.sample_window_batch(dataset, args.bsz, args.T, rng)
+    if args.deq:
+        params = policy.init(key, jnp.asarray(init_batch["state"][:, 0]),
+                             qp_solve=False)
+    else:
+        params = policy.init(key, jnp.asarray(init_batch["state"][:, 0]))
+    optimizer = optax.adam(args.lr)
+    opt_state = optimizer.init(params)
+    step = make_train_step(policy, optimizer, args)
+
+    losses, losses_end, dyn_resids, times = [], [], [], []
+    for i in range(args.iters):
+        batch = data_mod.sample_window_batch(dataset, args.bsz, args.T, rng)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        key, sub = jax.random.split(key)
+        qp_solve = args.qp_solve and not (args.pretrain and i < args.pretrain_iters)
+        t0 = time.time()
+        params, opt_state, loss, loss_end, dyn_res, gnorm = step(
+            params, opt_state, batch, sub, qp_solve)
+        loss.block_until_ready()
+        times.append(time.time() - t0)
+        losses.append(float(loss))
+        losses_end.append(float(loss_end))
+        dyn_resids.append(float(dyn_res))
+
+        if i % args.ckpt_every == 0:
+            mode = "deqmpc" if qp_solve else ("deq" if args.deq else "bc")
+            print(f"iter {i} [{mode}] loss {np.mean(losses)/max(args.deq_iter,1):.4f} "
+                  f"loss_end {np.mean(losses_end):.4f} dyn_res {np.mean(dyn_resids):.4f} "
+                  f"step_time {np.mean(times)*1e3:.1f}ms grad_norm {float(gnorm):.2f}")
+            writer.scalar("losses/loss_avg",
+                          np.mean(losses) / max(args.deq_iter, 1), i)
+            writer.scalar("losses/loss_end", np.mean(losses_end), i)
+            writer.scalar("stats/dyn_res", np.mean(dyn_resids), i)
+            writer.scalar("stats/step_time_ms", np.mean(times) * 1e3, i)
+            if args.save:
+                save_checkpoint(os.path.join(logdir, "ckpt.msgpack"),
+                                params, opt_state, meta=vars(args))
+            losses, losses_end, dyn_resids, times = [], [], [], []
+    writer.close()
+    return params
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Learning stack: data sampler semantics, noise modes, DEQ nets,
+DEQ-MPC policy forward/backward, and a short end-to-end training check
+(the minimum slice of the reference's run.sh config)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from diff_qp_mpc_tpu.envs import IntegratorEnv
+from diff_qp_mpc_tpu.learning import data as data_mod
+from diff_qp_mpc_tpu.learning import losses as losses_mod
+from diff_qp_mpc_tpu.learning import noise as noise_mod
+from diff_qp_mpc_tpu.learning.deq import DEQLayer, DEQPolicy, anderson
+from diff_qp_mpc_tpu.learning.policies import DEQMPCPolicy, TrackingMPC
+from diff_qp_mpc_tpu.solvers import al_mpc
+
+
+# --------------------------------------------------------------------------
+# data pipeline
+# --------------------------------------------------------------------------
+
+
+def tiny_dataset():
+    # two trajectories of lengths 4 and 3
+    trajs = [
+        [(np.full(2, i, np.float32), np.full(1, i, np.float32)) for i in range(4)],
+        [(np.full(2, 10 + i, np.float32), np.full(1, 10 + i, np.float32))
+         for i in range(3)],
+    ]
+    return data_mod.merge_trajectories(trajs)
+
+
+def test_merge_marks_episode_ends():
+    d = tiny_dataset()
+    np.testing.assert_array_equal(d["mask"], [1, 1, 1, 0, 1, 1, 0])
+    assert d["state"].shape == (7, 2)
+
+
+def test_sampler_masks_across_episode_boundary():
+    d = tiny_dataset()
+    rng = np.random.RandomState(0)
+    batch = data_mod.sample_window_batch(d, bsz=32, T=3, rng=rng)
+    assert batch["state"].shape == (32, 3, 2)
+    # every window starts at a mask-1 step
+    assert (batch["mask"][:, 0] == 1).all()
+    # cumulative: once 0, stays 0
+    m = batch["mask"]
+    assert ((np.diff(m, axis=1) <= 0) | (m[:, 1:] == 1)).all()
+    # windows starting at index 2 (state value 2) must mask step 2+
+    starts = batch["state"][:, 0, 0]
+    for b in range(32):
+        if starts[b] == 2:  # window = [2, 3(end), 10] → mask [1, 0, 0]
+            np.testing.assert_array_equal(m[b], [1, 0, 0])
+
+
+# --------------------------------------------------------------------------
+# noise
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3, 4, 5, 6])
+def test_noise_modes_shapes(mode):
+    key = jax.random.PRNGKey(0)
+    s = jnp.ones((4, 6, 3))
+    out = noise_mod.corrupt_observation(key, s, mode, 0.1, 0.3)
+    assert out.shape == s.shape
+    if mode == 0:
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(s))
+    if mode in (3, 4):
+        # dropped elements are exactly zero
+        dropped = np.asarray(out) == 0.0
+        assert dropped.any()
+        if mode == 4:  # whole vectors dropped
+            per_vec = dropped.all(axis=-1) | (~dropped).all(axis=-1)
+            assert per_vec.all()
+
+
+# --------------------------------------------------------------------------
+# DEQ nets
+# --------------------------------------------------------------------------
+
+
+def test_anderson_finds_fixed_point():
+    A = 0.5 * jnp.eye(4)
+    b = jnp.ones((4,))
+
+    def f(z):  # contraction z -> Az + b, fixed point (I-A)^-1 b = 2
+        return z @ A + b
+
+    z0 = jnp.zeros((3, 4))
+    z, res = anderson(f, z0, max_iter=20)
+    np.testing.assert_allclose(np.asarray(z), 2 * np.ones((3, 4)), rtol=1e-4)
+
+
+def test_deq_layer_out_types():
+    for out_type, shape in [(0, (2, 5, 1)), (1, (2, 4, 3)), (2, (2, 5, 3))]:
+        layer = DEQLayer(nx=3, nu=1, nq=1, T=5, hdim=16, dt=0.1,
+                         out_type=out_type)
+        x = jnp.ones((2, 3))
+        traj = jnp.zeros((2, layer.in_dim()))
+        z = layer.init_z(2)
+        params = layer.init(jax.random.PRNGKey(0), x, traj, z)
+        out, z2 = layer.apply(params, x, traj, z)
+        assert out.shape == shape, (out_type, out.shape)
+        assert z2.shape == (2, 16)
+
+
+def test_deq_policy_forward_and_grad():
+    pol = DEQPolicy(nx=2, T=4, hdim=16, fwd_iter=10)
+    x = jnp.ones((3, 2))
+    params = pol.init(jax.random.PRNGKey(0), x)
+    out = pol.apply(params, x)
+    assert out.shape == (3, 4, 2)
+    g = jax.grad(lambda p: jnp.sum(pol.apply(p, x) ** 2))(params)
+    gnorm = optax.global_norm(g)
+    assert float(gnorm) > 0 and np.isfinite(float(gnorm))
+
+
+# --------------------------------------------------------------------------
+# DEQ-MPC policy end-to-end
+# --------------------------------------------------------------------------
+
+
+def make_deqmpc(T=5, deq_iter=2, hdim=16):
+    env = IntegratorEnv()
+    tracking = TrackingMPC(
+        model=env.model, T=T,
+        Q=tuple(float(v) for v in np.asarray(env.Qlqr)),
+        R=tuple(float(v) for v in np.asarray(env.Rlqr)),
+        u_lo=tuple(float(v) for v in env.action_space.low),
+        u_hi=tuple(float(v) for v in env.action_space.high),
+        cfg=al_mpc.ALConfig(al_iter=2),
+    )
+    pol = DEQMPCPolicy(nx=2, nu=1, nq=1, T=T, hdim=hdim, dt=env.model.dt,
+                       tracking=tracking, deq_iter=deq_iter, out_type=2)
+    return env, pol
+
+
+def test_deqmpc_policy_shapes():
+    env, pol = make_deqmpc()
+    x = jnp.ones((4, 2))
+    params = pol.init(jax.random.PRNGKey(0), x, qp_solve=False)
+    iterates, dyn_res = pol.apply(params, x, qp_solve=True)
+    assert len(iterates) == 2
+    assert iterates[0].states.shape == (4, 5, 2)
+    assert iterates[0].actions.shape == (4, 5, 1)
+    assert np.isfinite(float(dyn_res))
+
+
+def test_deqmpc_training_reduces_loss():
+    """Short imitation run: loss must drop (mini version of the flagship
+    run.sh config; the full loop is exercised by learning.train)."""
+    env, pol = make_deqmpc(T=5, deq_iter=2, hdim=32)
+    rng = np.random.RandomState(0)
+    # synthetic "expert": drive to origin with a linear feedback
+    xs, us = [], []
+    x = jnp.asarray(rng.uniform(-1, 1, (64, 2)), jnp.float32)
+    for _ in range(8):
+        u = -0.8 * x[:, :1] - 0.5 * x[:, 1:]
+        xs.append(np.asarray(x))
+        us.append(np.asarray(u))
+        x = env.model(x, u)
+    states = jnp.asarray(np.stack(xs, 1))  # [64, 8, 2]
+    actions = jnp.asarray(np.stack(us, 1))
+    mask = jnp.ones((64, 8))
+
+    params = pol.init(jax.random.PRNGKey(1), states[:, 0], qp_solve=False)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x0, gt_s, gt_a, m):
+        def loss_fn(p):
+            its, _ = pol.apply(p, x0, qp_solve=True)
+            loss, _ = losses_mod.compute_loss_deqmpc(2, gt_s, gt_a, m, its)
+            return loss
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state2 = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state2, loss
+
+    losses = []
+    for i in range(25):
+        x0 = states[:, 0]
+        loss = None
+        params, opt_state, loss = step(params, opt_state, x0,
+                                       states[:, :5], actions[:, :5], mask[:, :5])
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
