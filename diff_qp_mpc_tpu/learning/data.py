@@ -62,8 +62,20 @@ def save_expert_pickle(path: str, trajs: List[List[Tuple[Array, Array]]]):
 
 
 def sample_window_batch(data: Dict[str, Array], bsz: int, T: int,
-                        rng: np.random.RandomState) -> Dict[str, Array]:
-    """Random T-windows with cumulative masking (datagen.py:358-408)."""
+                        rng: np.random.RandomState,
+                        use_native: bool = True) -> Dict[str, Array]:
+    """Random T-windows with cumulative masking (datagen.py:358-408).
+
+    Uses the C++ threaded sampler (runtime/src/window_sampler.cpp) when the
+    native library builds; falls back to this pure-Python path otherwise.
+    """
+    if use_native:
+        from diff_qp_mpc_tpu import runtime
+
+        out = runtime.sample_window_batch_native(
+            data, bsz, T, int(rng.randint(0, 2**31)))
+        if out is not None:
+            return out
     N = len(data["state"])
     states, actions, masks = [], [], []
     while len(states) < bsz:
