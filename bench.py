@@ -25,7 +25,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 CACHE = os.path.join(HERE, ".bench_baseline.json")
 
-BSZ_SWEEP = (256, 1024, 4096)
+BSZ_SWEEP = (1024,)  # single compile; remote TPU compiles are minutes each
 T = 5
 N_REP = 10
 
@@ -80,7 +80,7 @@ def measure_ours():
     # reference budget neither solver is converged and path differences
     # dominate; at convergence both reach the same local optima for the
     # vast majority of the batch (median rel err ~0.5%).
-    bszc = BSZ_SWEEP[0]
+    bszc = 256
     cfg_acc = al_mpc.ALConfig(al_iter=8, n_newton=4, n_ls=20, rho_max=1e6,
                               reg=1e-6)
     x0 = jnp.asarray(_pendulum_problem_np(bszc), jnp.float32)
@@ -162,7 +162,7 @@ def measure_reference(bsz=None, n_rep=3):
         if sps > best_sps:
             best_sps = sps
     # converged solution at the comparison batch size (al_iter=8)
-    _, u_ref = run(BSZ_SWEEP[0], 1, al_iter=8)
+    _, u_ref = run(256, 1, al_iter=8)
     return {"solves_per_s": best_sps}, u_ref
 
 

@@ -1,0 +1,119 @@
+"""Component microbenchmarks (the prof-linear.py / prof-gurobi.py analog).
+
+Times the solver building blocks in isolation so kernel work targets the
+actual hot path:
+  - batched block-tridiagonal factor+solve (ops.btsolve)
+  - merit gradient/Hessian assembly incl. dynamics Jacobians (ops.almerit)
+  - batched 2^-k line search (ops.newton_al)
+  - full AL-MPC solve, full SQP solve
+  - dense QP layer forward/backward vs a Dense layer of matched size
+    (prof-linear.py:38-66 comparison)
+
+Usage: python -m benchmarks.prof_components [--platform cpu] [--bsz 1024]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--bsz", type=int, default=1024)
+    p.add_argument("--T", type=int, default=5)
+    p.add_argument("--n_rep", type=int, default=20)
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import diff_qp_mpc_tpu as dq
+    from diff_qp_mpc_tpu.core.types import Lambdas
+    from diff_qp_mpc_tpu.models import Pendulum, step_with_jac
+    from diff_qp_mpc_tpu.ops import almerit, btsolve, newton_al
+    from diff_qp_mpc_tpu.solvers import al_mpc, qp, sqp_mpc
+    from diff_qp_mpc_tpu.utils.profiling import time_fn
+
+    bsz, T = args.bsz, args.T
+    model = Pendulum()
+    nx, nu = model.nx, model.nu
+    n = nx + nu
+    dt = jnp.float32
+    key = jax.random.PRNGKey(0)
+    results = {}
+
+    # --- problem data ---
+    x0 = 0.3 * jax.random.normal(key, (bsz, nx), dt)
+    x = 0.3 * jax.random.normal(key, (bsz, T, nx), dt)
+    u = 0.3 * jax.random.normal(key, (bsz, T, nu), dt)
+    Cd = jnp.broadcast_to(jnp.array([10.0, 0.1, 0.001], dt), (bsz, T, n))
+    cost = dq.DiagQuadCost(Cd=Cd, c=jnp.zeros((bsz, T, n), dt))
+    bounds = dq.Bounds(u_lo=jnp.array([-3.0], dt), u_hi=jnp.array([3.0], dt))
+    lam = Lambdas.zeros(bsz, T, nx, nu, dt)
+    rho = jnp.ones((bsz, 1), dt)
+    dyn_jac = step_with_jac(model.step)
+
+    # 1. merit grad/hess assembly
+    gh = jax.jit(lambda x, u: almerit.merit_grad_hess(
+        cost, dyn_jac, x, u, x0, bounds, lam, rho))
+    grad, D, O, _ = gh(x, u)
+    results["merit_grad_hess_ms"] = 1e3 * time_fn(gh, x, u, n_rep=args.n_rep)
+
+    # 2. block-tridiagonal factor+solve
+    fs = jax.jit(lambda D, O, g: btsolve.batched_factor_solve(D, O, g, 1e-6))
+    results["btsolve_ms"] = 1e3 * time_fn(fs, D, O, grad, n_rep=args.n_rep)
+
+    # 3. line search
+    xu = jnp.concatenate([x, u], axis=-1)
+    upd = -fs(D, O, grad)
+    merit0 = newton_al._merit_at(cost, model, xu, x0, bounds, lam, rho)
+    ls = jax.jit(lambda xu, upd, m: newton_al.line_search(
+        cost, model, xu, upd, m, x0, bounds, lam, rho))
+    results["line_search_ms"] = 1e3 * time_fn(ls, xu, upd, merit0,
+                                              n_rep=args.n_rep)
+
+    # 4. full AL-MPC solve (reference budget)
+    cfg = al_mpc.ALConfig(al_iter=2, n_newton=4, rho_max=1e4, reg=1e-5)
+    state0 = dq.ALState.init(bsz, T, nx, nu, dtype=dt)
+    alsolve = jax.jit(lambda x0, st: al_mpc.solve(
+        model, cost, x0, bounds, st, cfg)[1])
+    results["al_solve_ms"] = 1e3 * time_fn(alsolve, x0, state0,
+                                           n_rep=args.n_rep)
+
+    # 5. full SQP solve
+    scfg = sqp_mpc.SQPConfig(qp_iter=3)
+    sqpsolve = jax.jit(lambda x0, u0: sqp_mpc.solve(
+        model, cost, x0, bounds, u0, cfg=scfg, differentiable=False).u)
+    u0s = jnp.zeros((bsz, T, nu), dt)
+    results["sqp_solve_ms"] = 1e3 * time_fn(sqpsolve, x0, u0s, n_rep=5)
+
+    # 6. dense QP layer fwd/bwd vs nn.Dense-equivalent matmul
+    nz, nineq, neq = 10, 8, 4
+    ks = jax.random.split(key, 4)
+    L = jax.random.normal(ks[0], (bsz, nz, nz), dt)
+    Qm = jnp.einsum("bij,bkj->bik", L, L) + jnp.eye(nz, dtype=dt)
+    pv = jax.random.normal(ks[1], (bsz, nz), dt)
+    G = jax.random.normal(ks[2], (bsz, nineq, nz), dt)
+    z0 = jax.random.normal(ks[3], (bsz, nz), dt)
+    h = jnp.einsum("bij,bj->bi", G, z0) + 0.5
+    A = jax.random.normal(ks[0], (bsz, neq, nz), dt)
+    b = jnp.einsum("bij,bj->bi", A, z0)
+    qp_f = jax.jit(lambda p: qp.qp_layer(Qm, p, G, h, A, b))
+    results["qp_layer_fwd_ms"] = 1e3 * time_fn(qp_f, pv, n_rep=5)
+    qp_g = jax.jit(jax.grad(lambda p: jnp.sum(qp.qp_layer(Qm, p, G, h, A, b) ** 2)))
+    results["qp_layer_fwdbwd_ms"] = 1e3 * time_fn(qp_g, pv, n_rep=5)
+    lin = jax.jit(lambda p: jnp.einsum("bij,bj->bi", Qm, p))
+    results["dense_matmul_ms"] = 1e3 * time_fn(lin, pv, n_rep=args.n_rep)
+
+    results["bsz"] = bsz
+    results["platform"] = jax.devices()[0].platform
+    print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                      for k, v in results.items()}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

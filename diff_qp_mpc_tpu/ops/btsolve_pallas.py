@@ -1,0 +1,192 @@
+"""Pallas TPU kernel: fused batched block-tridiagonal Cholesky factor+solve.
+
+The ops.btsolve scan lowers to hundreds of tiny batched cholesky /
+triangular-solve HLO ops per Newton step. This kernel fuses the ENTIRE
+factor + forward/backward substitution into one Pallas call using the
+"batch-of-scalars" layout (the TPU analog of the reference's
+thread-per-batch-element CUDA dynamics kernels, my_envs/*/dynamics_gpu.cu,
+and of GPU MPC solvers like GATO/ReLU-QP): every block entry D[t,i,j] is a
+(8, 128) tile of batch elements, all arithmetic is elementwise on the VPU,
+and the (T, n, n) loop nest is fully unrolled at trace time (T, n are
+small static numbers).
+
+Numerical scheme identical to ops.btsolve: Cholesky–Banachiewicz per
+block, Sₜ = Oₜ₋₁Lₜ₋₁⁻ᵀ, LₜLₜᵀ = Dₜ − SₜSₜᵀ + reg·I, then block
+forward/backward substitution. Always-on damping keeps sqrt/div safe.
+
+Layout contract: inputs are transposed to batch-minor [T, n, n, B] outside
+the kernel; B is padded to a multiple of TILE = 8·128.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+SUB, LANE = 8, 128
+TILE = SUB * LANE
+
+
+def _factor_solve_kernel(T: int, n: int, reg: float,
+                         d_ref, o_ref, b_ref, out_ref):
+    """One batch tile. Shapes (leading grid-block axis of size 1 elided by
+    BlockSpec): d_ref [T, n, n, SUB, LANE], o_ref [T-1, n, n, SUB, LANE],
+    b_ref [T, n, SUB, LANE], out_ref [T, n, SUB, LANE]."""
+
+    def chol(Dm):
+        """Dm: n×n list-of-lists of [SUB, LANE] tiles -> lower L."""
+        L = [[None] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(i + 1):
+                s = Dm[i][j]
+                for k in range(j):
+                    s = s - L[i][k] * L[j][k]
+                if i == j:
+                    L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-30))
+                else:
+                    L[i][j] = s / L[j][j]
+        return L
+
+    def solve_lower_mat(L, B):
+        """S Lᵀ = B  (B: n×n tiles) -> S with S[r][c] computed left-to-right."""
+        S = [[None] * n for _ in range(n)]
+        for r in range(n):
+            for c in range(n):
+                s = B[r][c]
+                for k in range(c):
+                    s = s - S[r][k] * L[c][k]
+                S[r][c] = s / L[c][c]
+        return S
+
+    def solve_lower_vec(L, v):
+        """L y = v (v: n tiles)."""
+        y = [None] * n
+        for i in range(n):
+            s = v[i]
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s / L[i][i]
+        return y
+
+    def solve_upper_vec(L, v):
+        """Lᵀ x = v."""
+        x = [None] * n
+        for i in reversed(range(n)):
+            s = v[i]
+            for k in range(i + 1, n):
+                s = s - L[k][i] * x[k]
+            x[i] = s / L[i][i]
+        return x
+
+    def load_block(ref, t):
+        return [[ref[0, t, i, j] for j in range(n)] for i in range(n)]
+
+    def load_vec(ref, t):
+        return [ref[0, t, i] for i in range(n)]
+
+    # ---- factor ----
+    Ls = []
+    Ss = [None]  # S[0] unused
+    D0 = load_block(d_ref, 0)
+    for i in range(n):
+        D0[i][i] = D0[i][i] + reg
+    Ls.append(chol(D0))
+    for t in range(1, T):
+        Ot = load_block(o_ref, t - 1)
+        St = solve_lower_mat(Ls[t - 1], Ot)
+        Dt = load_block(d_ref, t)
+        for i in range(n):
+            for j in range(i + 1):
+                acc = Dt[i][j]
+                for k in range(n):
+                    acc = acc - St[i][k] * St[j][k]
+                Dt[i][j] = acc
+            Dt[i][i] = Dt[i][i] + reg
+        Ls.append(chol(Dt))
+        Ss.append(St)
+
+    # ---- forward: L y = b ----
+    ys = []
+    y0 = solve_lower_vec(Ls[0], load_vec(b_ref, 0))
+    ys.append(y0)
+    for t in range(1, T):
+        bt = load_vec(b_ref, t)
+        for i in range(n):
+            for k in range(n):
+                bt[i] = bt[i] - Ss[t][i][k] * ys[t - 1][k]
+        ys.append(solve_lower_vec(Ls[t], bt))
+
+    # ---- backward: Lᵀ x = y ----
+    xs = [None] * T
+    xs[T - 1] = solve_upper_vec(Ls[T - 1], ys[T - 1])
+    for t in reversed(range(T - 1)):
+        v = list(ys[t])
+        for i in range(n):
+            for k in range(n):
+                v[i] = v[i] - Ss[t + 1][k][i] * xs[t + 1][k]
+        xs[t] = solve_upper_vec(Ls[t], v)
+
+    for t in range(T):
+        for i in range(n):
+            out_ref[0, t, i] = xs[t][i]
+
+
+@functools.partial(jax.jit, static_argnames=("reg", "interpret"))
+def batched_factor_solve(D: Array, O: Array, b: Array, reg: float = 0.0,
+                         interpret: bool = False) -> Array:
+    """Drop-in replacement for ops.btsolve.batched_factor_solve.
+
+    D: [B, T, n, n], O: [B, T-1, n, n], b: [B, T, n] -> x: [B, T, n].
+    """
+    B, T, n, _ = D.shape
+    dt = D.dtype
+
+    pad = (-B) % TILE
+    if pad:
+        padB = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], dt)], axis=0)
+        # padded elements get identity diagonal via reg guard; harmless
+        D, O, b = padB(D), padB(O), padB(b)
+    Bp = B + pad
+    G = Bp // TILE
+
+    # batch-minor layout: [G, T, n, n, SUB, LANE]
+    def to_tiles(a, inner):
+        # [Bp, ...inner] -> [G, ...inner, SUB, LANE]
+        a = jnp.moveaxis(a.reshape((G, SUB, LANE) + inner), (1, 2), (-2, -1))
+        return a
+
+    Dt = to_tiles(D, (T, n, n))
+    Ot = to_tiles(O, (T - 1, n, n))
+    bt = to_tiles(b, (T, n))
+
+    kernel = functools.partial(_factor_solve_kernel, T, n, float(reg))
+    out = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, T, n, n, SUB, LANE),
+                         lambda i: (i, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T - 1, n, n, SUB, LANE),
+                         lambda i: (i, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, n, SUB, LANE),
+                         lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, n, SUB, LANE),
+                               lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, T, n, SUB, LANE), dt),
+        interpret=interpret,
+    )(Dt, Ot, bt)
+
+    # back to [Bp, T, n]
+    x = jnp.moveaxis(out, (-2, -1), (1, 2)).reshape(Bp, T, n)
+    return x[:B]

@@ -101,6 +101,7 @@ def test_implicit_gradient_matches_exact_kkt_sensitivity():
     )
     cfg = al_mpc.ALConfig(al_iter=6, n_newton=8, reg=1e-12)
 
+    @jax.jit
     def loss_implicit(c):
         cost_c = DiagQuadCost(Cd=cost.Cd, c=c)
         x, u, _, _ = al_mpc.solve(model, cost_c, x0, bounds, state, cfg)

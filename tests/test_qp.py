@@ -61,6 +61,7 @@ def test_gradients_vs_finite_diff(wrt):
     idx = names.index(wrt)
     cfg = QPConfig(max_iter=30, kkt_reg=1e-9)
 
+    @jax.jit
     def loss(theta):
         args = list(params)
         args[idx] = theta

@@ -97,6 +97,7 @@ def test_differentiable_through_solution():
     u0 = jnp.zeros((bsz, T, nu), jnp.float64)
     Cd = tracking_cost(bsz, T, nx, nu).Cd
 
+    @jax.jit
     def loss(c):
         res = sqp_mpc.solve(model, DiagQuadCost(Cd=Cd, c=c), x0, bounds, u0,
                             cfg=SQPConfig(qp_iter=3))

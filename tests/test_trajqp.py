@@ -96,6 +96,7 @@ def test_gradients_vs_fd(wrt):
     names = {"C": 0, "c": 1, "x0": 5}
     idx = names[wrt]
 
+    @jax.jit
     def loss(theta):
         args = list(params[:7])
         args[idx] = theta
