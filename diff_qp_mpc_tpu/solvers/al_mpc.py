@@ -51,6 +51,8 @@ class ALConfig:
     rho_max: float = 1e6
     reg: float = 1e-7
     use_line_search: bool = True
+    # block-tridiagonal KKT kernel: "scan" | "pallas" | "auto" (pallas on TPU)
+    kernel: str = "auto"
 
 
 def warm_start(lam: Lambdas, rho: Array, cost_start: Array, state: ALState
@@ -120,7 +122,8 @@ def _al_core(dynamics: DynamicsModel, cfg: ALConfig, cost: DiagQuadCost,
     # lax.scan (not a Python loop): al_iter trip bodies share one trace,
     # cutting compile time ~al_iter-fold on TPU.
     newton_kwargs = dict(n_newton=cfg.n_newton, n_ls=cfg.n_ls, reg=cfg.reg,
-                         use_line_search=cfg.use_line_search)
+                         use_line_search=cfg.use_line_search,
+                         kernel=cfg.kernel)
     bsz = xu.shape[0]
     n = xu.shape[-1]
     T = xu.shape[1]
@@ -203,7 +206,9 @@ def _al_solve_bwd(dynamics, cfg, residuals_saved, cotangents):
     # before the solve — D/O are the pinned blocks.
     nx0 = x0.shape[-1]
     ct_xu = ct_xu.at[:, 0, :nx0].set(0.0)
-    g = -btsolve.batched_factor_solve(D, O, ct_xu, cfg.reg)
+    from diff_qp_mpc_tpu.ops import newton_al as newton_al_mod
+
+    g = -newton_al_mod.kkt_solver(cfg.kernel)(D, O, ct_xu, cfg.reg)
     dCd = g * xu  # diag-Q gradient (al_utils.py:482)
     dc = g  # (al_utils.py:484)
 
