@@ -98,6 +98,11 @@ def main(argv=None):
                    help="force jax platform (e.g. cpu); the axon sitecustomize\n                   ignores the JAX_PLATFORMS env var, so use this flag")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--stabilization", action="store_true")
+    p.add_argument("--expert", type=str, default="mpc",
+                   choices=["mpc", "ppo"],
+                   help="mpc: receding-horizon SQP expert; ppo: train a PPO"
+                        " expert first (learning.rl), then roll it out")
+    p.add_argument("--ppo_iters", type=int, default=500)
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -106,10 +111,17 @@ def main(argv=None):
     if args.stabilization:
         kwargs["stabilization"] = True
     env = make_env(args.env, **kwargs)
-    trajs = mpc_expert_rollouts(env, args.num_traj, args.T, args.max_steps,
-                                args.seed, args.qp_iter)
+    if args.expert == "ppo":
+        from diff_qp_mpc_tpu.learning.rl import ppo_expert_rollouts, train_ppo
+
+        params, net = train_ppo(env, iters=args.ppo_iters, seed=args.seed)
+        trajs = ppo_expert_rollouts(env, params, net, args.num_traj,
+                                    args.max_steps, args.seed)
+    else:
+        trajs = mpc_expert_rollouts(env, args.num_traj, args.T,
+                                    args.max_steps, args.seed, args.qp_iter)
     out = args.out or os.path.join(
-        "data", f"expert_traj_mpc-{env.spec_id}_new.pkl")
+        "data", f"expert_traj_{args.expert}-{env.spec_id}_new.pkl")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     save_expert_pickle(out, trajs)
     lens = [len(t) for t in trajs]
