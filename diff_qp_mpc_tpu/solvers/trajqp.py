@@ -48,6 +48,25 @@ class TrajQPConfig:
     max_iter: int = 12
     reg: float = 1e-9  # Levenberg damping on Quu in the Riccati pass
     min_slack: float = 1e-8
+    # Riccati kernel: "scan" | "pallas" | "auto" (pallas on TPU)
+    kernel: str = "auto"
+
+
+def riccati_solver(kernel: str = "auto"):
+    """(Cxx, Cxu, Cuu, gx, gu, A, B, r, dx0, reg) -> (dx, du, lam)."""
+    if kernel == "auto":
+        kernel = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if kernel == "pallas":
+        from diff_qp_mpc_tpu.ops import riccati_pallas
+
+        return lambda *a, reg: riccati_pallas.batched_lqr_kkt_solve(
+            *a, reg=float(reg))
+
+    def scan_impl(*a, reg):
+        sol = riccati.batched_lqr_kkt_solve(*a, reg)
+        return sol.dx, sol.du, sol.lam
+
+    return scan_impl
 
 
 class TrajQPSolution(NamedTuple):
@@ -151,6 +170,8 @@ def solve(C: Array, c: Array, A: Array, B: Array, f: Array, x0: Array,
                 + jnp.linalg.norm(r_u.reshape(bsz, -1), axis=1))
         return pri + dual + n_comp * jnp.abs(mu), mu
 
+    solve_fn = riccati_solver(cfg.kernel)
+
     def kkt_step(z_hi, z_lo, s_hi, s_lo, r_x, r_u, r_dyn, r_init,
                  r_p_hi, r_p_lo, r_s_hi, r_s_lo):
         """Eliminate bound rows → Riccati solve → recover (ds, dz)."""
@@ -159,16 +180,15 @@ def solve(C: Array, c: Array, A: Array, B: Array, f: Array, x0: Array,
         gu_extra = (z_hi * r_p_hi - r_s_hi) / s_hi \
             - (z_lo * r_p_lo - r_s_lo) / s_lo
         Cuu_eff = cb.Cuu + jax.vmap(jax.vmap(jnp.diag))(d_hi + d_lo)
-        sol = riccati.batched_lqr_kkt_solve(
+        dx, du, lam = solve_fn(
             cb.Cxx, cb.Cxu, Cuu_eff, r_x, r_u + gu_extra,
-            A, B, -r_dyn, -r_init, cfg.reg,
+            A, B, -r_dyn, -r_init, reg=cfg.reg,
         )
-        du = sol.du
         ds_hi = -r_p_hi - du
         ds_lo = -r_p_lo + du
         dz_hi = -(r_s_hi + z_hi * ds_hi) / s_hi
         dz_lo = -(r_s_lo + z_lo * ds_lo) / s_lo
-        return sol.dx, du, sol.lam, ds_hi, ds_lo, dz_hi, dz_lo
+        return dx, du, lam, ds_hi, ds_lo, dz_hi, dz_lo
 
     def max_step(v, dv):
         big = jnp.asarray(jnp.finfo(dt).max, dt)
@@ -274,20 +294,20 @@ def _bwd(cfg, saved, dl_dw):
     s_lo = jnp.clip(sol.s_lo, 1e-8)
     d = z_hi / s_hi + z_lo / s_lo
     Cuu_eff = cb.Cuu + jax.vmap(jax.vmap(jnp.diag))(d)
-    rsol = riccati.batched_lqr_kkt_solve(
+    rdx, rdu, rlam = riccati_solver(cfg.kernel)(
         cb.Cxx, cb.Cxu, Cuu_eff, dl_dw[..., :nx], dl_dw[..., nx:],
-        A, B, jnp.zeros_like(f), jnp.zeros((bsz, nx), C.dtype), cfg.reg,
+        A, B, jnp.zeros_like(f), jnp.zeros((bsz, nx), C.dtype), reg=cfg.reg,
     )
     # lqr_kkt_solve with gradient rhs g̃ solves C̃v + Eᵀλ = −g̃, which is
     # exactly the OptNet backward system K[dz; dν] = −[∂L/∂z; 0]
-    dw = jnp.concatenate([rsol.dx, rsol.du], axis=-1)  # dz in OptNet notation
+    dw = jnp.concatenate([rdx, rdu], axis=-1)  # dz in OptNet notation
     w = jnp.concatenate([sol.x, sol.u], axis=-1)
     # dC = ½(dw wᵀ + w dwᵀ) per time block; dc = dw (qp.py:174,158)
     dC = 0.5 * (jnp.einsum("bti,btj->btij", dw, w, precision=_PREC)
                 + jnp.einsum("bti,btj->btij", w, dw, precision=_PREC))
     dc = dw
     # dx0 = −dν_init (the db rule, qp.py:167 — init row multiplier is lam[0])
-    dx0 = -rsol.lam[:, 0]
+    dx0 = -rlam[:, 0]
     zeros = lambda v: jax.tree.map(jnp.zeros_like, v)
     return dC, dc, zeros(A), zeros(B), zeros(f), dx0, zeros(bounds)
 
