@@ -38,6 +38,12 @@ def _pendulum_problem_np(bsz, seed=0):
 
 def measure_ours():
     import jax
+
+    # persistent compilation cache: TPU compiles are minutes each through
+    # the remote-compile tunnel; cache them across processes/rounds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     import diff_qp_mpc_tpu as dq
