@@ -23,6 +23,11 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
+def _mish(x: Array) -> Array:
+    """Mish activation (reference uses torch.nn.Mish in the gcn cell)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
 class DEQCell(nn.Module):
     """Weight-tied residual cell (policies.py:279-296, mlp layer_type):
     z₁ = ln₁(relu(fc₁(z)));  out = ln₃(relu(z₁ + ln₂(x + fc₂(z₁))))."""
@@ -33,6 +38,29 @@ class DEQCell(nn.Module):
     def __call__(self, x: Array, z: Array) -> Array:
         z1 = nn.LayerNorm()(nn.relu(nn.Dense(self.hdim)(z)))
         return nn.LayerNorm()(nn.relu(z1 + nn.LayerNorm()(x + nn.Dense(self.hdim)(z1))))
+
+
+class DEQConvCell(nn.Module):
+    """Temporal-conv weight-tied cell (the reference "gcn" layer_type,
+    policies.py:287-293: Conv1d over the horizon axis with Mish/GroupNorm,
+    expansion factor 4). x, z: [bsz, T, hdim]."""
+
+    hdim: int
+    kernel_width: int = 3
+    expand: int = 4
+    num_groups: int = 4
+
+    @nn.compact
+    def __call__(self, x: Array, z: Array) -> Array:
+        conv1 = nn.Conv(self.hdim * self.expand, (self.kernel_width,),
+                        padding="SAME")
+        conv2 = nn.Conv(self.hdim, (self.kernel_width,), padding="SAME")
+        z1 = nn.GroupNorm(self.num_groups)(_mish(conv1(z)))
+        inner = nn.GroupNorm(self.num_groups)(x + conv2(z1))
+        # project z1 back to hdim for the residual (reference adds in the
+        # expanded space then convs down; equivalent residual topology)
+        z_res = nn.Conv(self.hdim, (1,))(z1)
+        return nn.GroupNorm(self.num_groups)(_mish(z_res + inner))
 
 
 class DEQLayer(nn.Module):
@@ -53,6 +81,8 @@ class DEQLayer(nn.Module):
     hdim: int
     dt: float
     out_type: int = 2
+    layer_type: str = "mlp"  # "mlp" | "conv" (reference "gcn")
+    kernel_width: int = 3
 
     def in_dim(self) -> int:
         if self.out_type in (1, 2):
@@ -73,6 +103,8 @@ class DEQLayer(nn.Module):
         }[self.out_type]
 
     def init_z(self, bsz: int, dtype=jnp.float32) -> Array:
+        if self.layer_type == "conv":
+            return jnp.zeros((bsz, self.T, self.hdim), dtype)
         return jnp.zeros((bsz, self.hdim), dtype)
 
     def _integrate_cfg(self, d: Array, x: Array) -> Array:
@@ -88,9 +120,23 @@ class DEQLayer(nn.Module):
                  ) -> Tuple[Array, Array]:
         """x: [bsz, nx] current state; traj_flat: [bsz, in_dim] flattened
         trajectory estimate; z: [bsz, hdim] equilibrium latent."""
-        inp = nn.LayerNorm()(nn.Dense(self.hdim)(traj_flat))
-        z_out = DEQCell(self.hdim)(inp, z)
-        out = nn.Dense(self.out_dim())(z_out)
+        if self.layer_type == "conv":
+            # per-time-step node encoding + broadcast current-state encoding
+            # + learned time embedding (policies.py:265-277 gcn input path)
+            bsz = x.shape[0]
+            per_t = traj_flat.reshape(bsz, -1)[:, : self.T * self.nx]
+            nodes = per_t.reshape(bsz, self.T, self.nx)
+            node_emb = nn.Dense(self.hdim)(nodes)
+            x0_emb = nn.Dense(self.hdim)(x)[:, None, :]
+            t_emb = self.param("time_emb", nn.initializers.normal(0.02),
+                               (self.T, self.hdim))
+            inp = nn.LayerNorm()(node_emb + x0_emb + t_emb[None])
+            z_out = DEQConvCell(self.hdim, self.kernel_width)(inp, z)
+            out = nn.Dense(self.out_dim())(z_out.reshape(bsz, -1))
+        else:
+            inp = nn.LayerNorm()(nn.Dense(self.hdim)(traj_flat))
+            z_out = DEQCell(self.hdim)(inp, z)
+            out = nn.Dense(self.out_dim())(z_out)
 
         if self.out_type == 0:
             return out.reshape(-1, self.T, self.nu), z_out

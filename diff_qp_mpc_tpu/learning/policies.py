@@ -90,13 +90,15 @@ class DEQMPCPolicy(nn.Module):
     tracking: TrackingMPC
     deq_iter: int = 6
     out_type: int = 2  # DEQ layer output type (state estimate + prediction)
+    layer_type: str = "mlp"  # "mlp" | "conv" (reference gcn)
 
     @nn.compact
     def __call__(self, x: Array, qp_solve: bool = True,
                  lastqp_solve: bool = False) -> Tuple[List[DEQMPCRollout], Array]:
         bsz = x.shape[0]
         layer = DEQLayer(nx=self.nx, nu=self.nu, nq=self.nq, T=self.T,
-                         hdim=self.hdim, dt=self.dt, out_type=self.out_type)
+                         hdim=self.hdim, dt=self.dt, out_type=self.out_type,
+                         layer_type=self.layer_type)
         z = layer.init_z(bsz, x.dtype)
         x_ref_flat = jnp.tile(x, (1, self.T))  # initial estimate: current
         # state repeated (policies.py:455)

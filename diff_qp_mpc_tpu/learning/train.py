@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--qp_iter", type=int, default=2,
                    help="AL outer iterations (reference al_iter)")
     p.add_argument("--deq_out_type", type=int, default=2)
+    p.add_argument("--layer_type", type=str, default="mlp",
+                   choices=["mlp", "conv"])
     p.add_argument("--policy_out_type", type=int, default=2)
     p.add_argument("--data_noise_type", type=int, default=0)
     p.add_argument("--data_noise_std", type=float, default=0.0)
@@ -86,7 +88,7 @@ def make_policy(args, env):
         return DEQMPCPolicy(
             nx=env.nx, nu=env.nu, nq=env.nq, T=args.T, hdim=args.hdim,
             dt=env.dt, tracking=tracking, deq_iter=args.deq_iter,
-            out_type=args.deq_out_type,
+            out_type=args.deq_out_type, layer_type=args.layer_type,
         )
     return NNPolicy(nx=env.nx, nu=env.nu, nq=env.nq, T=args.T,
                     hdim=args.hdim, dt=env.dt, out_type=args.policy_out_type)

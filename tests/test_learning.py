@@ -188,3 +188,19 @@ def test_deqmpc_training_reduces_loss():
                                        states[:, :5], actions[:, :5], mask[:, :5])
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
+
+
+def test_deq_conv_layer_variant():
+    """Temporal-conv cell (reference layer_type='gcn')."""
+    layer = DEQLayer(nx=3, nu=1, nq=1, T=5, hdim=16, dt=0.1, out_type=2,
+                     layer_type="conv")
+    x = jnp.ones((2, 3))
+    traj = jnp.zeros((2, layer.in_dim()))
+    z = layer.init_z(2)
+    assert z.shape == (2, 5, 16)
+    params = layer.init(jax.random.PRNGKey(0), x, traj, z)
+    out, z2 = layer.apply(params, x, traj, z)
+    assert out.shape == (2, 5, 3)
+    assert z2.shape == (2, 5, 16)
+    g = jax.grad(lambda p: jnp.sum(layer.apply(p, x, traj, z)[0] ** 2))(params)
+    assert float(optax.global_norm(g)) > 0
