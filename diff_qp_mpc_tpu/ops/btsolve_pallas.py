@@ -32,56 +32,105 @@ SUB, LANE = 8, 128
 TILE = SUB * LANE
 
 
+# --- tile-matrix helpers (lists of [SUB, LANE] tiles), shared with the
+# fused AL kernel (ops/al_fused_pallas.py) ---
+
+
+def tile_chol(Dm, n):
+    """Dm: n×n list-of-lists of tiles -> lower Cholesky factor L."""
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = Dm[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def tile_solve_lower_mat(L, B, n):
+    """S Lᵀ = B (B: n×n tiles)."""
+    S = [[None] * n for _ in range(n)]
+    for r in range(n):
+        for c in range(n):
+            s = B[r][c]
+            for k in range(c):
+                s = s - S[r][k] * L[c][k]
+            S[r][c] = s / L[c][c]
+    return S
+
+
+def tile_solve_lower_vec(L, v, n):
+    y = [None] * n
+    for i in range(n):
+        s = v[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    return y
+
+
+def tile_solve_upper_vec(L, v, n):
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = v[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def tile_bt_factor_solve(D, O, b, T, n, reg):
+    """Block-tridiagonal factor+solve on tile lists.
+
+    D: [T][n][n] tiles, O: [T-1][n][n] tiles, b: [T][n] tiles -> x tiles.
+    """
+    Ls, Ss = [], [None]
+    D0 = [[D[0][i][j] + (reg if i == j else 0.0) for j in range(n)]
+          for i in range(n)]
+    Ls.append(tile_chol(D0, n))
+    for t in range(1, T):
+        St = tile_solve_lower_mat(Ls[t - 1], O[t - 1], n)
+        Dt = [[D[t][i][j] for j in range(n)] for i in range(n)]
+        for i in range(n):
+            for j in range(i + 1):
+                acc = Dt[i][j]
+                for k in range(n):
+                    acc = acc - St[i][k] * St[j][k]
+                Dt[i][j] = acc
+            Dt[i][i] = Dt[i][i] + reg
+        Ls.append(tile_chol(Dt, n))
+        Ss.append(St)
+    ys = [tile_solve_lower_vec(Ls[0], b[0], n)]
+    for t in range(1, T):
+        bt = list(b[t])
+        for i in range(n):
+            for k in range(n):
+                bt[i] = bt[i] - Ss[t][i][k] * ys[t - 1][k]
+        ys.append(tile_solve_lower_vec(Ls[t], bt, n))
+    xs = [None] * T
+    xs[T - 1] = tile_solve_upper_vec(Ls[T - 1], ys[T - 1], n)
+    for t in reversed(range(T - 1)):
+        v = list(ys[t])
+        for i in range(n):
+            for k in range(n):
+                v[i] = v[i] - Ss[t + 1][k][i] * xs[t + 1][k]
+        xs[t] = tile_solve_upper_vec(Ls[t], v, n)
+    return xs
+
+
 def _factor_solve_kernel(T: int, n: int, reg: float,
                          d_ref, o_ref, b_ref, out_ref):
     """One batch tile. Shapes (leading grid-block axis of size 1 elided by
     BlockSpec): d_ref [T, n, n, SUB, LANE], o_ref [T-1, n, n, SUB, LANE],
     b_ref [T, n, SUB, LANE], out_ref [T, n, SUB, LANE]."""
-
-    def chol(Dm):
-        """Dm: n×n list-of-lists of [SUB, LANE] tiles -> lower L."""
-        L = [[None] * n for _ in range(n)]
-        for i in range(n):
-            for j in range(i + 1):
-                s = Dm[i][j]
-                for k in range(j):
-                    s = s - L[i][k] * L[j][k]
-                if i == j:
-                    L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-30))
-                else:
-                    L[i][j] = s / L[j][j]
-        return L
-
-    def solve_lower_mat(L, B):
-        """S Lᵀ = B  (B: n×n tiles) -> S with S[r][c] computed left-to-right."""
-        S = [[None] * n for _ in range(n)]
-        for r in range(n):
-            for c in range(n):
-                s = B[r][c]
-                for k in range(c):
-                    s = s - S[r][k] * L[c][k]
-                S[r][c] = s / L[c][c]
-        return S
-
-    def solve_lower_vec(L, v):
-        """L y = v (v: n tiles)."""
-        y = [None] * n
-        for i in range(n):
-            s = v[i]
-            for k in range(i):
-                s = s - L[i][k] * y[k]
-            y[i] = s / L[i][i]
-        return y
-
-    def solve_upper_vec(L, v):
-        """Lᵀ x = v."""
-        x = [None] * n
-        for i in reversed(range(n)):
-            s = v[i]
-            for k in range(i + 1, n):
-                s = s - L[k][i] * x[k]
-            x[i] = s / L[i][i]
-        return x
+    chol = lambda Dm: tile_chol(Dm, n)
+    solve_lower_mat = lambda L, B: tile_solve_lower_mat(L, B, n)
+    solve_lower_vec = lambda L, v: tile_solve_lower_vec(L, v, n)
+    solve_upper_vec = lambda L, v: tile_solve_upper_vec(L, v, n)
 
     def load_block(ref, t):
         return [[ref[0, t, i, j] for j in range(n)] for i in range(n)]
