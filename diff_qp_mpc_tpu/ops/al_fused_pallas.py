@@ -114,14 +114,18 @@ def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
                 u = stack(w[t][nx:])
                 f = model.step(x, u)
                 r_dyn.append([w[t + 1][i] - f[..., i] for i in range(nx)])
+                one = jnp.ones_like(w[t][0])
+                zr = jnp.zeros_like(w[t][0])
                 Acols = []
                 for j in range(nx):
-                    dx = jnp.zeros_like(x).at[..., j].set(1.0)
+                    dx = jnp.stack([one if i == j else zr
+                                    for i in range(nx)], axis=-1)
                     _, col = jax.jvp(lambda xx: model.step(xx, u), (x,), (dx,))
                     Acols.append(col)
                 Bcols = []
                 for j in range(nu):
-                    du = jnp.zeros_like(u).at[..., j].set(1.0)
+                    du = jnp.stack([one if i == j else zr
+                                    for i in range(nu)], axis=-1)
                     _, col = jax.jvp(lambda uu: model.step(x, uu), (u,), (du,))
                     Bcols.append(col)
                 As.append([[Acols[j][..., i] for j in range(nx)]

@@ -287,3 +287,99 @@ def solve(dynamics: DynamicsModel, cost: DiagQuadCost, x0: Array,
         )
     new_state = jax.lax.stop_gradient(new_state)
     return xu[..., :nx], xu[..., nx:], new_state, stats
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-solver path (ops/al_fused_pallas): the complete AL solve as one
+# Pallas program. Fresh λ/ρ semantics (the reinitialized-per-forward DEQ-MPC
+# training configuration). Differentiable via the same implicit backward as
+# the scan path — the final GN Hessian blocks are recomputed outside the
+# kernel from the returned solution and multipliers.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_solve_diff(dynamics, cfg, cost, x0, bounds, x_init, u_init):
+    xu, res = _fused_core(dynamics, cfg, cost, x0, bounds, x_init, u_init)[:2]
+    return xu, res
+
+
+def _fused_core(dynamics, cfg, cost, x0, bounds, x_init, u_init):
+    from diff_qp_mpc_tpu.ops.al_fused_pallas import fused_al_solve
+
+    xu, lamd, lamh, laml, res = fused_al_solve(
+        dynamics, cost.Cd, cost.c, x0, bounds.u_lo, bounds.u_hi,
+        x_init, u_init, al_iter=cfg.al_iter, n_newton=cfg.n_newton,
+        n_ls=cfg.n_ls, rho_factor=cfg.rho_factor, rho_max=cfg.rho_max,
+        reg=cfg.reg)
+    return xu, res, lamd, lamh, laml
+
+
+def _fused_DO(dynamics, cfg, cost, x0, bounds, xu, lamd, lamh, laml):
+    """Final pinned GN Hessian blocks for the implicit backward.
+
+    The backward Hessian uses the λ/ρ that produced the final Newton step:
+    λ after al_iter−1 outer updates, ρ = min(rho_factor^(al_iter−1),
+    rho_max) — both deterministic for the fresh-state fused path. The
+    kernel returns λ after the FINAL update; one update beyond the last
+    Newton solve only perturbs the GN Hessian through the active-set
+    masks, so the returned multipliers are used directly.
+    """
+    nx = x0.shape[-1]
+    bsz = x0.shape[0]
+    lam = Lambdas(lam_dyn=lamd, lam_init=jnp.zeros((bsz, nx), xu.dtype),
+                  lam_hi=lamh, lam_lo=laml)
+    rho_last = min(cfg.rho_factor ** (cfg.al_iter - 1), cfg.rho_max)
+    rho = jnp.full((bsz, 1), rho_last, xu.dtype)
+    dyn_jac = step_with_jac(dynamics.step)
+    g, D, O, _ = almerit.merit_grad_hess(
+        cost, dyn_jac, xu[..., :nx], xu[..., nx:], x0, bounds, lam, rho)
+    _, D, O = newton_al.pin_first_state(g, D, O, nx)
+    return D, O
+
+
+def _fused_solve_fwd(dynamics, cfg, cost, x0, bounds, x_init, u_init):
+    xu, res, lamd, lamh, laml = _fused_core(
+        dynamics, cfg, cost, x0, bounds, x_init, u_init)
+    D, O = _fused_DO(dynamics, cfg, cost, x0, bounds, xu, lamd, lamh, laml)
+    return (xu, res), (xu, D, O, cost, x0, bounds, x_init, u_init)
+
+
+def _fused_solve_bwd(dynamics, cfg, saved, cts):
+    xu, D, O, cost, x0, bounds, x_init, u_init = saved
+    ct_xu, _ct_res = cts
+    nx0 = x0.shape[-1]
+    ct_xu = ct_xu.at[:, 0, :nx0].set(0.0)
+    g = -newton_al.kkt_solver(cfg.kernel)(D, O, ct_xu, cfg.reg)
+    d_cost = dataclasses.replace(
+        jax.tree.map(jnp.zeros_like, cost),
+        Cd=(g * xu).astype(cost.Cd.dtype), c=g.astype(cost.c.dtype))
+    zeros = lambda v: jax.tree.map(jnp.zeros_like, v)
+    return (d_cost, zeros(x0), zeros(bounds), zeros(x_init), zeros(u_init))
+
+
+_fused_solve_diff.defvjp(_fused_solve_fwd, _fused_solve_bwd)
+
+
+def solve_fused(dynamics: DynamicsModel, cost: DiagQuadCost, x0: Array,
+                bounds: Bounds, cfg: ALConfig = ALConfig(),
+                x_init: Optional[Array] = None,
+                u_init: Optional[Array] = None,
+                differentiable: bool = True):
+    """Whole-solver fused AL-MPC (see ops/al_fused_pallas). Fresh λ/ρ each
+    call; returns (x, u, dyn_res). For models whose step is elementwise
+    (pendulum/integrator/CartpoleCosSin). Gradients flow to cost (Cd, c).
+    """
+    nx = x0.shape[-1]
+    bsz = x0.shape[0]
+    if u_init is None:
+        u_init = jnp.zeros((bsz, cost.Cd.shape[1], dynamics.nu), x0.dtype)
+    if x_init is None:
+        x_init = dynamics.rollout(jax.lax.stop_gradient(x0), u_init)
+    if differentiable:
+        xu, res = _fused_solve_diff(dynamics, cfg, cost, x0, bounds,
+                                    x_init, u_init)
+    else:
+        xu, res = _fused_core(dynamics, cfg, cost, x0, bounds,
+                              x_init, u_init)[:2]
+    return xu[..., :nx], xu[..., nx:], res
