@@ -102,149 +102,186 @@ def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
                     + 0.5 * rho * (ch * ch + cl * cl)
         return m
 
-    alphas = [2.0 ** (-k) for k in range(n_ls)]
+    # state pytrees for fori_loop carries: nested TUPLES of tiles
+    def tup(nested):
+        return tuple(tuple(row) for row in nested)
 
-    for _ in range(al_iter):
-        merit_cur = merit(w, rho)
-        for _ in range(n_newton):
-            # ---- dynamics + jacobians ----
-            As, Bs, r_dyn = [], [], []
-            for t in range(T - 1):
-                x = stack(w[t][:nx])
-                u = stack(w[t][nx:])
-                f = model.step(x, u)
-                r_dyn.append([w[t + 1][i] - f[..., i] for i in range(nx)])
-                one = jnp.ones_like(w[t][0])
-                zr = jnp.zeros_like(w[t][0])
-                Acols = []
-                for j in range(nx):
-                    dx = jnp.stack([one if i == j else zr
-                                    for i in range(nx)], axis=-1)
-                    _, col = jax.jvp(lambda xx: model.step(xx, u), (x,), (dx,))
-                    Acols.append(col)
-                Bcols = []
-                for j in range(nu):
-                    du = jnp.stack([one if i == j else zr
-                                    for i in range(nu)], axis=-1)
-                    _, col = jax.jvp(lambda uu: model.step(x, uu), (u,), (du,))
-                    Bcols.append(col)
-                As.append([[Acols[j][..., i] for j in range(nx)]
-                           for i in range(nx)])  # A[i][j] = dfi/dxj
-                Bs.append([[Bcols[j][..., i] for j in range(nu)]
-                           for i in range(nx)])
+    def lst(nested):
+        return [list(row) for row in nested]
 
-            r_hi = [[w[t][nx + i] - u_hi[i] for i in range(nu)]
-                    for t in range(T)]
-            r_lo = [[u_lo[i] - w[t][nx + i] for i in range(nu)]
-                    for t in range(T)]
-            m_hi = [[(r_hi[t][i] > 0).astype(r_hi[t][i].dtype)
-                     for i in range(nu)] for t in range(T)]
-            m_lo = [[(r_lo[t][i] > 0).astype(r_lo[t][i].dtype)
-                     for i in range(nu)] for t in range(T)]
+    def newton_body(_, carry):
+        w_t, merit_cur, lam_d_t, lam_h_t, lam_l_t, rho = carry
+        w = lst(w_t)
+        lam_d_l, lam_h_l, lam_l_l = lst(lam_d_t), lst(lam_h_t), lst(lam_l_t)
 
-            # ---- merit gradient (ops/almerit formulas, tile form) ----
-            # v_dyn = λ + ρ·r (equality residuals are never clamped)
-            vd = [[lam_d[t][i] + rho * r_dyn[t][i] for i in range(nx)]
-                  for t in range(T - 1)]
-            grad = [[Cd[t][i] * w[t][i] + cv[t][i] for i in range(n)]
-                    for t in range(T)]
-            for t in range(T - 1):
-                for i in range(nx):  # -Aᵀ v on x-part of w_t
-                    acc = grad[t][i]
-                    for k in range(nx):
-                        acc = acc - As[t][k][i] * vd[t][k]
-                    grad[t][i] = acc
-                for i in range(nu):  # -Bᵀ v on u-part of w_t
-                    acc = grad[t][nx + i]
-                    for k in range(nx):
-                        acc = acc - Bs[t][k][i] * vd[t][k]
-                    grad[t][nx + i] = acc
-                for i in range(nx):  # +v on x-part of w_{t+1}
-                    grad[t + 1][i] = grad[t + 1][i] + vd[t][i]
-            for t in range(T):
-                for i in range(nu):
-                    ch = jnp.maximum(r_hi[t][i], 0.0)
-                    cl = jnp.maximum(r_lo[t][i], 0.0)
-                    grad[t][nx + i] = grad[t][nx + i] \
-                        + lam_h[t][i] + rho * ch \
-                        - lam_l[t][i] - rho * cl
+        # ---- dynamics + jacobians ----
+        As, Bs, r_dyn = [], [], []
+        for t in range(T - 1):
+            x = stack(w[t][:nx])
+            u = stack(w[t][nx:])
+            f = model.step(x, u)
+            r_dyn.append([w[t + 1][i] - f[..., i] for i in range(nx)])
+            one = jnp.ones_like(w[t][0])
+            zr = jnp.zeros_like(w[t][0])
+            Acols = []
+            for j in range(nx):
+                dx = jnp.stack([one if i == j else zr
+                                for i in range(nx)], axis=-1)
+                _, col = jax.jvp(lambda xx: model.step(xx, u), (x,), (dx,))
+                Acols.append(col)
+            Bcols = []
+            for j in range(nu):
+                du = jnp.stack([one if i == j else zr
+                                for i in range(nu)], axis=-1)
+                _, col = jax.jvp(lambda uu: model.step(x, uu), (u,), (du,))
+                Bcols.append(col)
+            As.append([[Acols[j][..., i] for j in range(nx)]
+                       for i in range(nx)])
+            Bs.append([[Bcols[j][..., i] for j in range(nu)]
+                       for i in range(nx)])
 
-            # ---- GN Hessian blocks ----
-            D = [[[zero for _ in range(n)] for _ in range(n)]
-                 for _ in range(T)]
-            for t in range(T):
-                for i in range(n):
-                    D[t][i][i] = Cd[t][i]
-                for i in range(nx):  # identity from dyn/init rows
-                    D[t][i][i] = D[t][i][i] + rho
-                for i in range(nu):
-                    D[t][nx + i][nx + i] = D[t][nx + i][nx + i] \
-                        + rho * (m_hi[t][i] + m_lo[t][i])
-            for t in range(T - 1):  # ρ·GᵀG at block t
-                for i in range(n):
-                    for j in range(i + 1):
-                        acc = zero
-                        for k in range(nx):
-                            gi = As[t][k][i] if i < nx else Bs[t][k][i - nx]
-                            gj = As[t][k][j] if j < nx else Bs[t][k][j - nx]
-                            acc = acc + gi * gj
-                        D[t][i][j] = D[t][i][j] + rho * acc
-                        if i != j:
-                            D[t][j][i] = D[t][j][i] + rho * acc
-            O = [[[zero for _ in range(n)] for _ in range(n)]
-                 for _ in range(T - 1)]
-            for t in range(T - 1):
-                for i in range(nx):
-                    for j in range(n):
-                        g = As[t][i][j] if j < nx else Bs[t][i][j - nx]
-                        O[t][i][j] = -rho * g
+        r_hi = [[w[t][nx + i] - u_hi[i] for i in range(nu)] for t in range(T)]
+        r_lo = [[u_lo[i] - w[t][nx + i] for i in range(nu)] for t in range(T)]
+        m_hi = [[(r_hi[t][i] > 0).astype(r_hi[t][i].dtype)
+                 for i in range(nu)] for t in range(T)]
+        m_lo = [[(r_lo[t][i] > 0).astype(r_lo[t][i].dtype)
+                 for i in range(nu)] for t in range(T)]
 
-            # ---- pin x0 block ----
-            for i in range(nx):
-                grad[0][i] = zero
-                for j in range(n):
-                    D[0][i][j] = zero
-                    D[0][j][i] = zero
-                D[0][i][i] = zero + 1.0
-            for i in range(n):
-                for j in range(nx):
-                    O[0][i][j] = zero
-
-            # ---- Newton step ----
-            d = tile_bt_factor_solve(D, O, grad, T, n, reg)
-            d = [[-d[t][i] for i in range(n)] for t in range(T)]
-
-            # ---- line search ----
-            best_m = None
-            best_w = None
-            for a in alphas:
-                wk = [[w[t][i] + a * d[t][i] for i in range(n)]
-                      for t in range(T)]
-                for i in range(nx):
-                    wk[0][i] = x0[i]
-                mk = merit(wk, rho)
-                if best_m is None:
-                    best_m, best_w = mk, wk
-                else:
-                    better = mk < best_m
-                    best_w = [[jnp.where(better, wk[t][i], best_w[t][i])
-                               for i in range(n)] for t in range(T)]
-                    best_m = jnp.where(better, mk, best_m)
-            improved = best_m < merit_cur
-            w = [[jnp.where(improved, best_w[t][i], w[t][i])
-                  for i in range(n)] for t in range(T)]
-            merit_cur = jnp.where(improved, best_m, merit_cur)
-
-        # ---- AL outer update ----
-        r_dyn, r_hi, r_lo = residuals(w)
+        # ---- merit gradient ----
+        vd = [[lam_d_l[t][i] + rho * r_dyn[t][i] for i in range(nx)]
+              for t in range(T - 1)]
+        grad = [[Cd[t][i] * w[t][i] + cv[t][i] for i in range(n)]
+                for t in range(T)]
         for t in range(T - 1):
             for i in range(nx):
-                lam_d[t][i] = lam_d[t][i] + rho * r_dyn[t][i]
+                acc = grad[t][i]
+                for k in range(nx):
+                    acc = acc - As[t][k][i] * vd[t][k]
+                grad[t][i] = acc
+            for i in range(nu):
+                acc = grad[t][nx + i]
+                for k in range(nx):
+                    acc = acc - Bs[t][k][i] * vd[t][k]
+                grad[t][nx + i] = acc
+            for i in range(nx):
+                grad[t + 1][i] = grad[t + 1][i] + vd[t][i]
         for t in range(T):
             for i in range(nu):
-                lam_h[t][i] = jnp.maximum(lam_h[t][i] + rho * r_hi[t][i], 0.0)
-                lam_l[t][i] = jnp.maximum(lam_l[t][i] + rho * r_lo[t][i], 0.0)
+                ch = jnp.maximum(r_hi[t][i], 0.0)
+                cl = jnp.maximum(r_lo[t][i], 0.0)
+                grad[t][nx + i] = grad[t][nx + i] \
+                    + lam_h_l[t][i] + rho * ch - lam_l_l[t][i] - rho * cl
+
+        # ---- GN Hessian blocks ----
+        D = [[[zero for _ in range(n)] for _ in range(n)] for _ in range(T)]
+        for t in range(T):
+            for i in range(n):
+                D[t][i][i] = Cd[t][i]
+            for i in range(nx):
+                D[t][i][i] = D[t][i][i] + rho
+            for i in range(nu):
+                D[t][nx + i][nx + i] = D[t][nx + i][nx + i] \
+                    + rho * (m_hi[t][i] + m_lo[t][i])
+        for t in range(T - 1):
+            for i in range(n):
+                for j in range(i + 1):
+                    acc = zero
+                    for k in range(nx):
+                        gi = As[t][k][i] if i < nx else Bs[t][k][i - nx]
+                        gj = As[t][k][j] if j < nx else Bs[t][k][j - nx]
+                        acc = acc + gi * gj
+                    D[t][i][j] = D[t][i][j] + rho * acc
+                    if i != j:
+                        D[t][j][i] = D[t][j][i] + rho * acc
+        O = [[[zero for _ in range(n)] for _ in range(n)]
+             for _ in range(T - 1)]
+        for t in range(T - 1):
+            for i in range(nx):
+                for j in range(n):
+                    g = As[t][i][j] if j < nx else Bs[t][i][j - nx]
+                    O[t][i][j] = -rho * g
+
+        # ---- pin x0 block ----
+        for i in range(nx):
+            grad[0][i] = zero
+            for j in range(n):
+                D[0][i][j] = zero
+                D[0][j][i] = zero
+            D[0][i][i] = zero + 1.0
+        for i in range(n):
+            for j in range(nx):
+                O[0][i][j] = zero
+
+        # ---- Newton step ----
+        d = tile_bt_factor_solve(D, O, grad, T, n, reg)
+        d = tup([[-d[t][i] for i in range(n)] for t in range(T)])
+
+        # ---- line search (fori over candidates) ----
+        def ls_body(k, ls_carry):
+            best_m, best_w = ls_carry
+            a = 2.0 ** (-k.astype(jnp.float32))
+            wk = [[w[t][i] + a * d[t][i] for i in range(n)]
+                  for t in range(T)]
+            for i in range(nx):
+                wk[0][i] = x0[i]
+            mk = _merit(tup(wk), lam_d_t, lam_h_t, lam_l_t, rho)
+            better = mk < best_m
+            new_w = tuple(tuple(jnp.where(better, wk[t][i], best_w[t][i])
+                                for i in range(n)) for t in range(T))
+            return jnp.where(better, mk, best_m), new_w
+
+        big = jnp.full_like(merit_cur, jnp.finfo(jnp.float32).max)
+        best_m, best_w = jax.lax.fori_loop(
+            0, n_ls, ls_body, (big, w_t))
+        improved = best_m < merit_cur
+        w_new = tuple(tuple(jnp.where(improved, best_w[t][i], w_t[t][i])
+                            for i in range(n)) for t in range(T))
+        merit_new = jnp.where(improved, best_m, merit_cur)
+        return (w_new, merit_new, lam_d_t, lam_h_t, lam_l_t, rho)
+
+    def _merit(w_t, lam_d_t, lam_h_t, lam_l_t, rho):
+        w = lst(w_t)
+        r_dyn, r_hi, r_lo = residuals(w)
+        m = zero
+        for t in range(T):
+            for i in range(n):
+                m = m + 0.5 * Cd[t][i] * w[t][i] * w[t][i] + cv[t][i] * w[t][i]
+        for t in range(T - 1):
+            for i in range(nx):
+                m = m + lam_d_t[t][i] * r_dyn[t][i] \
+                    + 0.5 * rho * r_dyn[t][i] * r_dyn[t][i]
+        for t in range(T):
+            for i in range(nu):
+                ch = jnp.maximum(r_hi[t][i], 0.0)
+                cl = jnp.maximum(r_lo[t][i], 0.0)
+                m = m + lam_h_t[t][i] * r_hi[t][i] \
+                    + lam_l_t[t][i] * r_lo[t][i] \
+                    + 0.5 * rho * (ch * ch + cl * cl)
+        return m
+
+    def al_body(_, carry):
+        w_t, lam_d_t, lam_h_t, lam_l_t, rho = carry
+        merit_cur = _merit(w_t, lam_d_t, lam_h_t, lam_l_t, rho)
+        w_t, merit_cur, lam_d_t, lam_h_t, lam_l_t, rho = jax.lax.fori_loop(
+            0, n_newton, newton_body,
+            (w_t, merit_cur, lam_d_t, lam_h_t, lam_l_t, rho))
+        # ---- AL outer update ----
+        w = lst(w_t)
+        r_dyn, r_hi, r_lo = residuals(w)
+        lam_d_n = tuple(tuple(lam_d_t[t][i] + rho * r_dyn[t][i]
+                              for i in range(nx)) for t in range(T - 1))
+        lam_h_n = tuple(tuple(jnp.maximum(lam_h_t[t][i] + rho * r_hi[t][i], 0.0)
+                              for i in range(nu)) for t in range(T))
+        lam_l_n = tuple(tuple(jnp.maximum(lam_l_t[t][i] + rho * r_lo[t][i], 0.0)
+                              for i in range(nu)) for t in range(T))
         rho = jnp.minimum(rho * rho_factor, rho_max)
+        return (w_t, lam_d_n, lam_h_n, lam_l_n, rho)
+
+    w_t, lam_d_t, lam_h_t, lam_l_t, rho = jax.lax.fori_loop(
+        0, al_iter, al_body,
+        (tup(w), tup(lam_d), tup(lam_h), tup(lam_l), rho))
+    w = lst(w_t)
+    lam_d, lam_h, lam_l = lst(lam_d_t), lst(lam_h_t), lst(lam_l_t)
 
     # ---- outputs ----
     r_dyn, r_hi, r_lo = residuals(w)
