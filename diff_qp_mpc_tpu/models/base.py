@@ -157,6 +157,20 @@ class DynamicsModel:
     def step(self, x: Array, u: Array) -> Array:  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def step_parts(self, xs, us):
+        """Coordinate-wise step: tuples of same-shaped arrays in/out.
+
+        Used by whole-solver Pallas kernels (ops/al_fused_pallas) where
+        state coordinates live as separate (8,128) batch tiles — stacking
+        them onto a minor axis would force catastrophic Mosaic padding.
+        Models with elementwise closed-form steps override this; the
+        default stacks (fine under XLA, unsuitable inside kernels).
+        """
+        x = jnp.stack(xs, axis=-1)
+        u = jnp.stack(us, axis=-1)
+        xn = self.step(x, u)
+        return tuple(xn[..., i] for i in range(self.nx))
+
     # --- derived API ---
     def __call__(self, x: Array, u: Array) -> Array:
         """Batched step (matches reference forward(x[bsz,nx], u[bsz,nu]))."""

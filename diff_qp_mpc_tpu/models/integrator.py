@@ -30,6 +30,13 @@ class Integrator(DynamicsModel):
         pos_n = pos + vel_n * self.dt
         return jnp.concatenate([pos_n, vel_n], axis=-1)
 
+    def step_parts(self, xs, us):
+        nq = self.nq
+        pos, vel = xs[:nq], xs[nq:]
+        vel_n = tuple(vel[i] + us[i] * self.dt for i in range(nq))
+        pos_n = tuple(pos[i] + vel_n[i] * self.dt for i in range(nq))
+        return pos_n + vel_n
+
     def action_clip(self, u: Array) -> Array:
         return jnp.clip(u, -self.max_acc, self.max_acc)
 

@@ -37,6 +37,14 @@ class Pendulum(DynamicsModel):
         new_th = th + new_thdot * self.dt
         return jnp.stack([new_th, new_thdot], axis=-1)
 
+    def step_parts(self, xs, us):
+        th, thdot = xs
+        (tau,) = us
+        thddot = (tau + self.m * self.g * self.l * jnp.sin(th)) / (self.m * self.l**2)
+        new_thdot = thdot + thddot * self.dt
+        new_th = th + new_thdot * self.dt
+        return (new_th, new_thdot)
+
     def action_clip(self, u: Array) -> Array:
         return jnp.clip(u, -self.max_torque, self.max_torque)
 

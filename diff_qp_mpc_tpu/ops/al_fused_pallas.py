@@ -10,10 +10,13 @@ updates — into a single Pallas program per batch tile. This is the TPU
 analog of GPU whole-solver kernels (GATO / ReLU-QP) in batch-of-scalars
 form: one (8,128) tile of batch elements per grid step, everything in VMEM.
 
-Applicability: models whose ``step`` lowers to elementwise jnp ops
-(pendulum, integrator, cos/sin cartpole — anything without linear-algebra
-calls inside the step). Jacobians come from nx+nu ``jax.jvp`` evaluations
-of the step inside the kernel — exact, no finite differences.
+Applicability: models implementing ``step_parts`` (coordinate-wise step on
+tuples of same-shaped arrays — pendulum, integrator, and anything whose
+step is elementwise closed form). Stacking coordinates onto a minor axis
+inside the kernel is forbidden: Mosaic pads the minor dim to the lane
+width, blowing VMEM (observed 39 MB vs the 16 MB budget). Jacobians come
+from nx+nu ``jax.jvp`` evaluations of step_parts inside the kernel —
+exact, no finite differences.
 
 Semantics match solvers.al_mpc with a fresh ALState (the DEQ-MPC training
 configuration: reinitialized λ/ρ each call, explicit x/u warm starts).
@@ -46,12 +49,6 @@ def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
                w_ref, lamd_ref, lamh_ref, laml_ref, res_ref):
     n = nx + nu
 
-    def stack(ts):
-        return jnp.stack(ts, axis=-1)
-
-    def unstack(a, m):
-        return [a[..., i] for i in range(m)]
-
     x0 = [x0_ref[0, i] for i in range(nx)]
 
     # ---- state: w[t] = [x coords..., u coords...] tiles ----
@@ -69,17 +66,12 @@ def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
     Cd = [[cd_ref[0, t, i] for i in range(n)] for t in range(T)]
     cv = [[c_ref[0, t, i] for i in range(n)] for t in range(T)]
 
-    def step_t(wt):
-        x = stack(wt[:nx])
-        u = stack(wt[nx:])
-        return model.step(x, u)  # [SUB, LANE, nx]
-
     def residuals(w):
         """r_dyn [T-1][nx] tiles, bound residuals [T][nu]."""
         r_dyn = []
         for t in range(T - 1):
-            f = step_t(w[t])
-            r_dyn.append([w[t + 1][i] - f[..., i] for i in range(nx)])
+            f = model.step_parts(tuple(w[t][:nx]), tuple(w[t][nx:]))
+            r_dyn.append([w[t + 1][i] - f[i] for i in range(nx)])
         r_hi = [[w[t][nx + i] - u_hi[i] for i in range(nu)] for t in range(T)]
         r_lo = [[u_lo[i] - w[t][nx + i] for i in range(nu)] for t in range(T)]
         return r_dyn, r_hi, r_lo
@@ -114,31 +106,29 @@ def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
         w = lst(w_t)
         lam_d_l, lam_h_l, lam_l_l = lst(lam_d_t), lst(lam_h_t), lst(lam_l_t)
 
-        # ---- dynamics + jacobians ----
+        # ---- dynamics + jacobians (per-coordinate tiles; no stacking) ----
         As, Bs, r_dyn = [], [], []
         for t in range(T - 1):
-            x = stack(w[t][:nx])
-            u = stack(w[t][nx:])
-            f = model.step(x, u)
-            r_dyn.append([w[t + 1][i] - f[..., i] for i in range(nx)])
+            xp = tuple(w[t][:nx])
+            up = tuple(w[t][nx:])
+            f = model.step_parts(xp, up)
+            r_dyn.append([w[t + 1][i] - f[i] for i in range(nx)])
             one = jnp.ones_like(w[t][0])
             zr = jnp.zeros_like(w[t][0])
             Acols = []
             for j in range(nx):
-                dx = jnp.stack([one if i == j else zr
-                                for i in range(nx)], axis=-1)
-                _, col = jax.jvp(lambda xx: model.step(xx, u), (x,), (dx,))
+                dxp = tuple(one if i == j else zr for i in range(nx))
+                _, col = jax.jvp(lambda xx: model.step_parts(xx, up),
+                                 (xp,), (dxp,))
                 Acols.append(col)
             Bcols = []
             for j in range(nu):
-                du = jnp.stack([one if i == j else zr
-                                for i in range(nu)], axis=-1)
-                _, col = jax.jvp(lambda uu: model.step(x, uu), (u,), (du,))
+                dup = tuple(one if i == j else zr for i in range(nu))
+                _, col = jax.jvp(lambda uu: model.step_parts(xp, uu),
+                                 (up,), (dup,))
                 Bcols.append(col)
-            As.append([[Acols[j][..., i] for j in range(nx)]
-                       for i in range(nx)])
-            Bs.append([[Bcols[j][..., i] for j in range(nu)]
-                       for i in range(nx)])
+            As.append([[Acols[j][i] for j in range(nx)] for i in range(nx)])
+            Bs.append([[Bcols[j][i] for j in range(nu)] for i in range(nx)])
 
         r_hi = [[w[t][nx + i] - u_hi[i] for i in range(nu)] for t in range(T)]
         r_lo = [[u_lo[i] - w[t][nx + i] for i in range(nu)] for t in range(T)]
