@@ -26,7 +26,7 @@ sys.path.insert(0, HERE)
 CACHE = os.path.join(HERE, ".bench_baseline.json")
 
 BSZ_SWEEP = (1024,)  # scan-path reference point
-FUSED_BSZ = 16384  # whole-solver fused kernel headline batch
+FUSED_BSZ = 262144  # whole-solver fused kernel headline batch
 T = 5
 N_REP = 10
 
