@@ -41,6 +41,10 @@ class TrackingMPC:
     u_lo: Tuple[float, ...]
     u_hi: Tuple[float, ...]
     cfg: al_mpc.ALConfig = al_mpc.ALConfig()
+    # route solves through the fused whole-solver Pallas kernel
+    # (ops/al_fused_pallas; fresh-lambda semantics — exactly what this
+    # reinitialized-per-forward training path uses)
+    use_fused: bool = False
 
     def bounds(self, dtype=jnp.float32) -> Bounds:
         return Bounds(u_lo=jnp.asarray(self.u_lo, dtype),
@@ -61,6 +65,11 @@ class TrackingMPC:
               x_init: Optional[Array] = None, u_init: Optional[Array] = None):
         xu_ref = jnp.concatenate([x_ref, u_ref], axis=-1)
         cost = self.cost(xu_ref)
+        if self.use_fused:
+            x, u, res = al_mpc.solve_fused(
+                self.model, cost, x0, self.bounds(x0.dtype), self.cfg,
+                x_init=x_init, u_init=u_init)
+            return x, u, state, res
         x, u, new_state, stats = al_mpc.solve(
             self.model, cost, x0, self.bounds(x0.dtype), state, self.cfg,
             x_init=x_init, u_init=u_init)

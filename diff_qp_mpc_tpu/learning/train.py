@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--deq_out_type", type=int, default=2)
     p.add_argument("--layer_type", type=str, default="mlp",
                    choices=["mlp", "conv"])
+    p.add_argument("--fused", action="store_true",
+                   help="use the fused whole-solver Pallas kernel for the "
+                        "tracking MPC (TPU; elementwise-step models)")
     p.add_argument("--policy_out_type", type=int, default=2)
     p.add_argument("--data_noise_type", type=int, default=0)
     p.add_argument("--data_noise_std", type=float, default=0.0)
@@ -83,6 +86,7 @@ def make_policy(args, env):
         u_lo=tuple(float(v) for v in env.action_space.low),
         u_hi=tuple(float(v) for v in env.action_space.high),
         cfg=al_mpc.ALConfig(al_iter=args.qp_iter),
+        use_fused=getattr(args, 'fused', False),
     )
     if args.deq:
         return DEQMPCPolicy(
