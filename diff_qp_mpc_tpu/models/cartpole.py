@@ -160,6 +160,24 @@ class CartpoleCosSin(DynamicsModel):
         dth = dth + self.dt * th_acc
         return jnp.stack([pos, dpos, jnp.cos(th), jnp.sin(th), dth], axis=-1)
 
+    def step_parts(self, xs, us):
+        """Coordinate-wise step for whole-solver Pallas kernels."""
+        g, mc, mp, l = self.g, self.masscart, self.masspole, self.length
+        total = mc + mp
+        pml = mp * l
+        pos, dpos, cos_th, sin_th, dth = xs
+        f = jnp.clip(us[0], -self.force_mag, self.force_mag)
+        th = jnp.arctan2(sin_th, cos_th)
+        cart_in = (f + pml * dth**2 * sin_th) / total
+        th_acc = (g * sin_th - cos_th * cart_in) / (
+            l * (4.0 / 3.0 - mp * cos_th**2 / total))
+        x_acc = cart_in - pml * th_acc * cos_th / total
+        pos = pos + self.dt * dpos
+        dpos = dpos + self.dt * x_acc
+        th = th + self.dt * dth
+        dth = dth + self.dt * th_acc
+        return (pos, dpos, jnp.cos(th), jnp.sin(th), dth)
+
     def action_clip(self, u: Array) -> Array:
         return jnp.clip(u, -self.force_mag, self.force_mag)
 

@@ -52,3 +52,9 @@ def test_fused_matches_scan_pendulum():
 
 def test_fused_matches_scan_integrator():
     _compare(Integrator(nx=2, nu=1, dt=0.1))
+
+
+def test_fused_matches_scan_cartpole_cossin():
+    from diff_qp_mpc_tpu.models import CartpoleCosSin
+
+    _compare(CartpoleCosSin())
