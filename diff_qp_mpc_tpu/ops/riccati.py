@@ -47,27 +47,45 @@ class LQRSolution(NamedTuple):
 
 def lqr_kkt_solve(Cxx: Array, Cxu: Array, Cuu: Array, gx: Array, gu: Array,
                   A: Array, B: Array, r: Array, dx0: Array,
-                  reg: float = 0.0) -> LQRSolution:
+                  reg: float = 0.0, theta: Array | None = None) -> LQRSolution:
     """Single-instance solve (vmap over batch for the batched version).
 
     Cxx: [T, nx, nx], Cxu: [T, nx, nu], Cuu: [T, nu, nu] cost blocks;
     gx: [T, nx], gu: [T, nu] gradients; A: [T-1, nx, nx], B: [T-1, nx, nu],
     r: [T-1, nx] dynamics offsets; dx0: [nx] fixed initial value.
     reg: Levenberg damping added to Quu before inversion.
+
+    theta: optional [T-1, nx] ≥ 0 — ELASTIC (relaxed) dynamics rows:
+    solves the KKT system with  E dw − Θ dν = r  (Θ = diag(theta) per
+    stage), which is what the SL1QP interior-point iteration produces after
+    eliminating the elastic slack pairs (v, w) of sl1qp_mpc.py. The value
+    recursion gains a proximal transform P̃ = (I + PΘ)⁻¹P,
+    p̃ = (I + PΘ)⁻¹p (the Kalman-covariance-style relaxation); Θ = 0
+    recovers the hard-constrained recursion exactly.
     """
     T, nx, nu = Cxu.shape
     dt = Cxx.dtype
     eyeu = jnp.eye(nu, dtype=dt)
+    eyex = jnp.eye(nx, dtype=dt)
 
     # pad dynamics at t = T-1 (terminal step has no transition; with
     # P_T = 0 the padded A/B/r contribute nothing)
     Ap = jnp.concatenate([A, jnp.zeros((1, nx, nx), dt)], axis=0)
     Bp = jnp.concatenate([B, jnp.zeros((1, nx, nu), dt)], axis=0)
     rp = jnp.concatenate([r, jnp.zeros((1, nx), dt)], axis=0)
+    if theta is None:
+        thp = jnp.zeros((T, nx), dt)
+    else:
+        thp = jnp.concatenate([theta, jnp.zeros((1, nx), dt)], axis=0)
 
     def backward(carry, inp):
         P, p = carry
-        Cxx_t, Cxu_t, Cuu_t, gx_t, gu_t, A_t, B_t, r_t = inp
+        Cxx_t, Cxu_t, Cuu_t, gx_t, gu_t, A_t, B_t, r_t, th_t = inp
+        # elastic relaxation: P ← (I + PΘ)⁻¹P, p ← (I + PΘ)⁻¹p
+        M = eyex + P * th_t[None, :]
+        Pp = jnp.linalg.solve(M, jnp.concatenate([P, p[:, None]], axis=1))
+        P = 0.5 * (Pp[:, :nx] + Pp[:, :nx].T)
+        p = Pp[:, nx]
         PA = _mm(P, A_t)
         PB = _mm(P, B_t)
         m = _mv(P, r_t) + p
@@ -87,19 +105,30 @@ def lqr_kkt_solve(Cxx: Array, Cxu: Array, Cuu: Array, gx: Array, gu: Array,
 
     init = (jnp.zeros((nx, nx), dt), jnp.zeros((nx,), dt))
     inputs = (Cxx[::-1], Cxu[::-1], Cuu[::-1], gx[::-1], gu[::-1],
-              Ap[::-1], Bp[::-1], rp[::-1])
+              Ap[::-1], Bp[::-1], rp[::-1], thp[::-1])
     _, (Ks, ks, Ps, ps) = jax.lax.scan(backward, init, inputs)
     K, k = Ks[::-1], ks[::-1]
     P, p = Ps[::-1], ps[::-1]
+    # P/p rows are the POST-relaxation value functions of each stage; the
+    # costate identity needs the PRE-relaxation (Pₜ, pₜ) of stage t, which
+    # is exactly what the scan emitted for stage t (relaxation is applied
+    # with Θ_{t-1} when consumed by stage t-1), so nothing extra needed.
 
-    # forward affine rollout
+    # forward affine rollout with elastic violation:
+    # dx_{t+1} = (I + Θₜ Pₜ₊₁)⁻¹ (A dx + B du + r − Θₜ pₜ₊₁)
+    P_next = jnp.concatenate([P[1:], jnp.zeros((1, nx, nx), dt)], axis=0)
+    p_next = jnp.concatenate([p[1:], jnp.zeros((1, nx), dt)], axis=0)
+
     def forward(dx, inp):
-        K_t, k_t, A_t, B_t, r_t = inp
+        K_t, k_t, A_t, B_t, r_t, th_t, Pn, pn = inp
         du = _mv(K_t, dx) + k_t
-        dx_next = _mv(A_t, dx) + _mv(B_t, du) + r_t
+        s_vec = _mv(A_t, dx) + _mv(B_t, du) + r_t
+        Mf = jnp.eye(nx, dtype=dt) + th_t[:, None] * Pn
+        dx_next = jnp.linalg.solve(Mf, s_vec - th_t * pn)
         return dx_next, (dx, du)
 
-    _, (dxs, dus) = jax.lax.scan(forward, dx0, (K, k, Ap, Bp, rp))
+    _, (dxs, dus) = jax.lax.scan(
+        forward, dx0, (K, k, Ap, Bp, rp, thp, P_next, p_next))
     # Lagrange multipliers: ν_{t-1} = −(∂V_t/∂x) = −(Pₜdxₜ + pₜ)
     lam = -(_mv(P, dxs) + p)
     return LQRSolution(dx=dxs, du=dus, lam=lam, K=K, k=k)
@@ -108,6 +137,11 @@ def lqr_kkt_solve(Cxx: Array, Cxu: Array, Cuu: Array, gx: Array, gu: Array,
 batched_lqr_kkt_solve = jax.vmap(
     lqr_kkt_solve,
     in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None),
+)
+
+batched_lqr_kkt_solve_elastic = jax.vmap(
+    lqr_kkt_solve,
+    in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None, 0),
 )
 
 

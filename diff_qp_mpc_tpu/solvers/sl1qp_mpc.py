@@ -7,10 +7,13 @@ sl1qpify):
     min ½zᵀQz + qᵀz + μ·Σ(v + w) + μ·Σt
     s.t. Az − b = v − w,  Gz − h ≤ t,  v, w, t ≥ 0
 
-The expanded QP is solved by the batched dense PDIPM (solvers.qp) — the
-reference also assembles this dense. (The slack pattern breaks the pure
-LQR block structure; folding the elastic rows into the Riccati recursion à
-la Kalman-style constraint damping is a planned kernel optimization.)
+Two backends:
+- "riccati" (default, TPU-native): the elastic pairs eliminate per IPM
+  iteration into a diagonal relaxation Θ of the dynamics rows, solved by
+  the elastic Riccati recursion (trajqp.solve_elastic / ops.riccati theta
+  support) in O(T) — the structure the dense expansion destroys.
+- "dense": the reference-style expanded QP via the batched PDIPM
+  (capability parity path; validates the structured backend).
 
 Note: the reference sizes the v/w blocks with `nineq` where `neq` is meant
 (sl1qp_mpc.py:735-739 works only because its trajectory QPs happen to have
@@ -43,6 +46,10 @@ class SL1QPConfig:
     ls_decay: float = 0.2
     max_ls: int = 10
     qp: QPConfig = QPConfig(max_iter=20)
+    # "dense": reference-style expanded QP via the batched PDIPM;
+    # "riccati": structured elastic IPM (trajqp.solve_elastic — O(T) via
+    # the elastic Riccati recursion; the TPU-native path)
+    backend: str = "riccati"
 
 
 class SL1QPResult(NamedTuple):
@@ -144,6 +151,14 @@ def solve(dynamics: Union[DynamicsModel, LinDx], cost: Cost, x0: Array,
 
     def one_qp(x, u):
         A, B, f = sqp_mpc._linearize(dynamics, x, u)
+        if cfg.backend == "riccati":
+            from diff_qp_mpc_tpu.solvers import trajqp
+
+            sol = trajqp.solve_elastic(
+                dcost.C, dcost.c, A, B, f, x0, bounds, cfg.mu,
+                cfg=trajqp.TrajQPConfig(max_iter=cfg.qp.max_iter),
+                x_init=x, u_init=u)
+            return sol.x, sol.u, sol.slack_l1
         Qd, qd, Gd, hd, Aeq, beq = _assemble_traj_qp(
             dcost.C, dcost.c, A, B, f, x0, bounds)
         Q2, q2, G2, h2, A2 = sl1qpify(Qd, qd, Gd, hd, Aeq, cfg.mu)

@@ -313,3 +313,164 @@ def _bwd(cfg, saved, dl_dw):
 
 
 traj_qp_layer.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Elastic (SL1QP) trajectory QP: l1-penalty slack pairs on the dynamics
+# rows, solved structurally — the box block eliminates as above and the
+# elastic pairs (v, w ≥ 0, cost μ each, duals z_v, z_w) eliminate into a
+# per-stage diagonal relaxation Θₜ = v/z_v + w/z_w of the dynamics rows,
+# handled by the elastic Riccati recursion (ops.riccati theta support).
+# This replaces the reference's dense sl1qpify expansion
+# (sl1qp_mpc.py:703-752) with an O(T) solve. The init row stays hard
+# (consistent with the x₀-pinned formulation).
+# ---------------------------------------------------------------------------
+
+
+class ElasticTrajQPSolution(NamedTuple):
+    x: Array
+    u: Array
+    lam: Array
+    v: Array  # [bsz, T-1, nx] positive-violation slacks
+    w_s: Array  # [bsz, T-1, nx] negative-violation slacks
+    slack_l1: Array  # [bsz] Σ(v + w) — total constraint relaxation
+    resids: Array
+
+
+def solve_elastic(C: Array, c: Array, A: Array, B: Array, f: Array,
+                  x0: Array, bounds: Bounds, mu: float,
+                  cfg: TrajQPConfig = TrajQPConfig(),
+                  x_init: Array | None = None, u_init: Array | None = None
+                  ) -> ElasticTrajQPSolution:
+    """Batched elastic IPM solve (same inputs as ``solve`` + penalty μ)."""
+    bsz, Tm1, nx, nu = B.shape
+    T = Tm1 + 1
+    dt = C.dtype
+    cb = split_cost(C, c, nx)
+    u_hi = jnp.broadcast_to(bounds.u_hi, (bsz, T, nu)).astype(dt)
+    u_lo = jnp.broadcast_to(bounds.u_lo, (bsz, T, nu)).astype(dt)
+
+    u = (jnp.clip(u_init, u_lo + 1e-3, u_hi - 1e-3)
+         if u_init is not None else 0.5 * (u_hi + u_lo))
+    if x_init is not None:
+        x = x_init
+    else:
+        def roll(xt, inp):
+            A_t, B_t, f_t, u_t = inp
+            xn = _mv(A_t, xt) + _mv(B_t, u_t) + f_t
+            return xn, xn
+        _, xs = jax.lax.scan(
+            roll, x0, (jnp.swapaxes(A, 0, 1), jnp.swapaxes(B, 0, 1),
+                       jnp.swapaxes(f, 0, 1), jnp.swapaxes(u[:, :-1], 0, 1)))
+        x = jnp.concatenate([x0[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
+    lam = jnp.zeros((bsz, T, nx), dt)
+    s_hi = jnp.clip(u_hi - u, 0.1)
+    s_lo = jnp.clip(u - u_lo, 0.1)
+    z_hi = jnp.ones((bsz, T, nu), dt)
+    z_lo = jnp.ones((bsz, T, nu), dt)
+    ev = jnp.full((bsz, Tm1, nx), 0.1, dt)
+    ew = jnp.full((bsz, Tm1, nx), 0.1, dt)
+    zv = jnp.full((bsz, Tm1, nx), mu, dt)
+    zw = jnp.full((bsz, Tm1, nx), mu, dt)
+    n_comp = 2 * T * nu + 2 * Tm1 * nx
+    solve_fn = riccati.batched_lqr_kkt_solve_elastic
+
+    def residuals(x, u, lam, z_hi, z_lo, s_hi, s_lo, ev, ew, zv, zw):
+        r_x, r_u = _stationarity(cb, x, u, lam, z_hi, z_lo, A, B)
+        nu_dyn = lam[:, 1:]
+        e_dyn = x[:, 1:] - (_mv(A, x[:, :-1]) + _mv(B, u[:, :-1]) + f)
+        r_el = e_dyn - ev + ew
+        r_init = x[:, 0] - x0
+        r_sv = mu - nu_dyn - zv
+        r_sw = mu + nu_dyn - zw
+        return (r_x, r_u, r_el, r_init, u - u_hi + s_hi, u_lo - u + s_lo,
+                s_hi * z_hi, s_lo * z_lo, r_sv, r_sw, ev * zv, ew * zw)
+
+    def max_step(v_, dv):
+        big = jnp.asarray(jnp.finfo(dt).max, dt)
+        steps = jnp.where(dv < 0, -v_ / jnp.where(dv < 0, dv, -1.0), big)
+        return jnp.minimum(jnp.min(steps.reshape(bsz, -1), axis=1), 1.0)
+
+    def kkt_step(state, rs, corr_cv=None, corr_cw=None):
+        (x, u, lam, z_hi, z_lo, s_hi, s_lo, ev, ew, zv, zw) = state
+        (r_x, r_u, r_el, r_init, r_p_hi, r_p_lo, r_s_hi, r_s_lo,
+         r_sv, r_sw, r_cv, r_cw) = rs
+        if corr_cv is not None:
+            r_cv, r_cw = corr_cv, corr_cw
+        d_box = z_hi / s_hi + z_lo / s_lo
+        gu_extra = (z_hi * r_p_hi - r_s_hi) / s_hi \
+            - (z_lo * r_p_lo - r_s_lo) / s_lo
+        Cuu_eff = cb.Cuu + jax.vmap(jax.vmap(jnp.diag))(d_box)
+        theta = ev / zv + ew / zw
+        # dynamics-row rhs after elastic elimination (solver convention:
+        # E dw − Θ dν = r_arg)
+        r_arg = -r_el + (-r_cv - ev * r_sv) / zv - (-r_cw - ew * r_sw) / zw
+        sol = solve_fn(
+            cb.Cxx, cb.Cxu, Cuu_eff, r_x, r_u + gu_extra,
+            A, B, r_arg, -r_init, cfg.reg, theta)
+        dx, du, dlam = sol.dx, sol.du, sol.lam
+        dnu = dlam[:, 1:]
+        dzv = r_sv - dnu
+        dzw = r_sw + dnu
+        dev = (-r_cv - ev * dzv) / zv
+        dew = (-r_cw - ew * dzw) / zw
+        ds_hi = -r_p_hi - du
+        ds_lo = -r_p_lo + du
+        dz_hi = -(r_s_hi + z_hi * ds_hi) / s_hi
+        dz_lo = -(r_s_lo + z_lo * ds_lo) / s_lo
+        return (dx, du, dlam, dz_hi, dz_lo, ds_hi, ds_lo, dev, dew, dzv, dzw)
+
+    def body(carry, _):
+        state = carry
+        (x, u, lam, z_hi, z_lo, s_hi, s_lo, ev, ew, zv, zw) = state
+        rs = residuals(*state)
+        mu_bar = (jnp.sum(rs[6], axis=(1, 2)) + jnp.sum(rs[7], axis=(1, 2))
+                  + jnp.sum(rs[10], axis=(1, 2)) + jnp.sum(rs[11], axis=(1, 2))
+                  ) / n_comp
+
+        d_aff = kkt_step(state, rs)
+        pairs = [(s_hi, d_aff[5]), (s_lo, d_aff[6]), (z_hi, d_aff[3]),
+                 (z_lo, d_aff[4]), (ev, d_aff[7]), (ew, d_aff[8]),
+                 (zv, d_aff[9]), (zw, d_aff[10])]
+        a_aff = jnp.ones((bsz,), dt)
+        for v_, dv in pairs:
+            a_aff = jnp.minimum(a_aff, max_step(v_, dv))
+        a = a_aff.reshape(bsz, 1, 1)
+        mu_aff = (jnp.sum((s_hi + a * d_aff[5]) * (z_hi + a * d_aff[3]), axis=(1, 2))
+                  + jnp.sum((s_lo + a * d_aff[6]) * (z_lo + a * d_aff[4]), axis=(1, 2))
+                  + jnp.sum((ev + a * d_aff[7]) * (zv + a * d_aff[9]), axis=(1, 2))
+                  + jnp.sum((ew + a * d_aff[8]) * (zw + a * d_aff[10]), axis=(1, 2))
+                  ) / n_comp
+        sigma = (mu_aff / jnp.maximum(mu_bar, 1e-300)) ** 3
+        smu = (sigma * mu_bar)[:, None, None]
+
+        rs_corr = list(rs)
+        rs_corr[6] = rs[6] + d_aff[5] * d_aff[3] - smu
+        rs_corr[7] = rs[7] + d_aff[6] * d_aff[4] - smu
+        corr_cv = rs[10] + d_aff[7] * d_aff[9] - smu
+        corr_cw = rs[11] + d_aff[8] * d_aff[10] - smu
+        d = kkt_step(state, tuple(rs_corr), corr_cv, corr_cw)
+
+        alpha = jnp.ones((bsz,), dt)
+        pairs = [(s_hi, d[5]), (s_lo, d[6]), (z_hi, d[3]), (z_lo, d[4]),
+                 (ev, d[7]), (ew, d[8]), (zv, d[9]), (zw, d[10])]
+        for v_, dv in pairs:
+            alpha = jnp.minimum(alpha, max_step(v_, dv))
+        a = (0.99 * alpha).reshape(bsz, 1, 1)
+        ms = cfg.min_slack
+        new_state = (
+            x + a * d[0], u + a * d[1], lam + a * d[2],
+            jnp.maximum(z_hi + a * d[3], ms), jnp.maximum(z_lo + a * d[4], ms),
+            jnp.maximum(s_hi + a * d[5], ms), jnp.maximum(s_lo + a * d[6], ms),
+            jnp.maximum(ev + a * d[7], ms), jnp.maximum(ew + a * d[8], ms),
+            jnp.maximum(zv + a * d[9], ms), jnp.maximum(zw + a * d[10], ms))
+        return new_state, None
+
+    state0 = (x, u, lam, z_hi, z_lo, s_hi, s_lo, ev, ew, zv, zw)
+    state, _ = jax.lax.scan(body, state0, None, length=cfg.max_iter)
+    (x, u, lam, z_hi, z_lo, s_hi, s_lo, ev, ew, zv, zw) = state
+    rs = residuals(*state)
+    total = sum(jnp.linalg.norm(r.reshape(bsz, -1), axis=1) for r in rs[:4])
+    return ElasticTrajQPSolution(
+        x=x, u=u, lam=lam, v=ev, w_s=ew,
+        slack_l1=jnp.sum(ev + ew, axis=(1, 2)), resids=total)

@@ -88,3 +88,58 @@ def test_batched():
         si = riccati.lqr_kkt_solve(*all_params[i])
         np.testing.assert_allclose(np.asarray(sol.dx[i]), np.asarray(si.dx), rtol=1e-9)
         np.testing.assert_allclose(np.asarray(sol.du[i]), np.asarray(si.du), rtol=1e-9)
+
+
+def test_elastic_theta_matches_dense_relaxed_kkt():
+    """Relaxed dynamics rows (E dw − Θ dν = rhs — the SL1QP elastic
+    elimination) vs a dense KKT oracle with −Θ in the (2,2) block."""
+    T, nx, nu = 6, 3, 2
+    params = random_lqr(jax.random.PRNGKey(3), T, nx, nu)
+    Cxx, Cxu, Cuu, gx, gu, A, B, r, dx0 = params
+    theta = jax.random.uniform(jax.random.PRNGKey(4), (T - 1, nx),
+                               jnp.float64, 0.05, 0.5)
+
+    sol = riccati.lqr_kkt_solve(*params, 0.0, theta)
+
+    # dense oracle
+    n = nx + nu
+    nw = T * n
+    neq = T * nx
+    K = np.zeros((nw + neq, nw + neq))
+    rhs = np.zeros(nw + neq)
+    for t in range(T):
+        sl = slice(t * n, t * n + nx)
+        su = slice(t * n + nx, (t + 1) * n)
+        K[sl, sl] = Cxx[t]
+        K[sl, su] = Cxu[t]
+        K[su, sl] = np.asarray(Cxu[t]).T
+        K[su, su] = Cuu[t]
+        rhs[sl] = -np.asarray(gx[t])
+        rhs[su] = -np.asarray(gu[t])
+    for t in range(T - 1):
+        row = slice(nw + t * nx, nw + (t + 1) * nx)
+        K[row, t * n:t * n + nx] = -np.asarray(A[t])
+        K[row, t * n + nx:(t + 1) * n] = -np.asarray(B[t])
+        K[row, (t + 1) * n:(t + 1) * n + nx] = np.eye(nx)
+        K[row, row] = -np.diag(np.asarray(theta[t]))  # relaxation block
+        rhs[nw + t * nx:nw + (t + 1) * nx] = np.asarray(r[t])
+    row = slice(nw + (T - 1) * nx, nw + T * nx)
+    K[row, 0:nx] = np.eye(nx)
+    rhs[nw + (T - 1) * nx:] = np.asarray(dx0)
+    K[:nw, nw:] = K[nw:, :nw].T
+    # restore the -Theta diagonal clobbered by the transpose copy
+    for t in range(T - 1):
+        row = slice(nw + t * nx, nw + (t + 1) * nx)
+        K[row, row] = -np.diag(np.asarray(theta[t]))
+
+    dense = np.linalg.solve(K, rhs)
+    w = dense[:nw].reshape(T, n)
+    nu_dense = dense[nw:].reshape(T, nx)  # rows: dyn t=0..T-2, then init
+
+    np.testing.assert_allclose(np.asarray(sol.dx), w[:, :nx],
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol.du), w[:, nx:],
+                               rtol=1e-7, atol=1e-8)
+    # multipliers: lam[t+1] = dyn-row-t multiplier
+    np.testing.assert_allclose(np.asarray(sol.lam[1:]), nu_dense[:-1],
+                               rtol=1e-6, atol=1e-7)

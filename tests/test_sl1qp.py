@@ -46,3 +46,18 @@ def test_feasible_rollout_and_bounds():
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_roll),
                                rtol=1e-8, atol=1e-8)
     assert float(jnp.abs(res.u).max()) <= 3.0 + 1e-6
+
+
+def test_riccati_backend_matches_dense():
+    """Structured elastic path (trajqp.solve_elastic via the elastic
+    Riccati recursion) vs the reference-style dense expanded QP."""
+    model, cost, x0, bounds, u0 = setup()
+    res_r = sl1qp_mpc.solve(model, cost, x0, bounds, u0,
+                            cfg=SL1QPConfig(qp_iter=4, mu=100.0,
+                                            backend="riccati"))
+    res_d = sl1qp_mpc.solve(model, cost, x0, bounds, u0,
+                            cfg=SL1QPConfig(qp_iter=4, mu=100.0,
+                                            backend="dense"))
+    np.testing.assert_allclose(np.asarray(res_r.u), np.asarray(res_d.u),
+                               rtol=1e-2, atol=1e-3)
+    assert float(res_r.slack_l1.max()) < 1e-3

@@ -117,3 +117,38 @@ def test_gradients_vs_fd(wrt):
         fd = (float(loss(theta0 + pert)) - float(loss(theta0 - pert))) / (2 * eps)
         gi = float(np.asarray(g).reshape(-1)[ci])
         assert abs(gi - fd) < 1e-2 + 1e-3 * abs(fd), (wrt, ci, gi, fd)
+
+
+def test_elastic_matches_hard_when_feasible():
+    """μ large + feasible ⇒ slacks → 0 and the elastic solve equals the
+    hard-constrained solve (structured SL1QP path, solve_elastic)."""
+    bsz, T, nx, nu = 3, 5, 2, 1
+    C, c, A, B, f, x0, bounds = random_traj_qp(
+        jax.random.PRNGKey(5), bsz, T, nx, nu)
+    hard = trajqp.solve(C, c, A, B, f, x0, bounds, TrajQPConfig(max_iter=20))
+    el = trajqp.solve_elastic(C, c, A, B, f, x0, bounds, mu=50.0,
+                              cfg=TrajQPConfig(max_iter=25))
+    assert float(el.slack_l1.max()) < 1e-6
+    np.testing.assert_allclose(np.asarray(el.u), np.asarray(hard.u),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_elastic_absorbs_infeasibility():
+    """Uncontrollable tight problem: the hard QP has no feasible point that
+    also respects the bounds; the elastic solve stays finite and reports
+    the violation in the slacks."""
+    bsz, T, nx, nu = 2, 4, 2, 1
+    n = nx + nu
+    C = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float64), (bsz, T, n, n))
+    c = jnp.zeros((bsz, T, n), jnp.float64)
+    # dynamics demand a huge jump: x' = x + 10 (B ~ 0 ⇒ no control authority)
+    A = jnp.broadcast_to(jnp.eye(nx, dtype=jnp.float64), (bsz, T - 1, nx, nx))
+    B = jnp.zeros((bsz, T - 1, nx, nu), jnp.float64) + 1e-6
+    f = jnp.full((bsz, T - 1, nx), 10.0, jnp.float64)
+    x0 = jnp.zeros((bsz, nx), jnp.float64)
+    bounds = Bounds(u_lo=jnp.full((nu,), -1.0), u_hi=jnp.full((nu,), 1.0))
+    el = trajqp.solve_elastic(C, c, A, B, f, x0, bounds, mu=0.5,
+                              cfg=TrajQPConfig(max_iter=25))
+    assert not bool(jnp.isnan(el.x).any())
+    # with mu=0.5 < marginal cost of tracking the jump, slacks absorb it
+    assert float(el.slack_l1.min()) > 1.0
