@@ -298,17 +298,22 @@ def solve(dynamics: DynamicsModel, cost: DiagQuadCost, x0: Array,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused_solve_diff(dynamics, cfg, cost, x0, bounds, x_init, u_init):
-    xu, res = _fused_core(dynamics, cfg, cost, x0, bounds, x_init, u_init)[:2]
+# bounds travel as STATIC float tuples (u_lo, u_hi): the fused kernel
+# closes over them as compile-time constants, and passing them through the
+# custom_vjp boundary would wrap them in tracers.
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_solve_diff(dynamics, cfg, bounds_t, cost, x0, x_init, u_init):
+    xu, res = _fused_core(dynamics, cfg, bounds_t, cost, x0,
+                          x_init, u_init)[:2]
     return xu, res
 
 
-def _fused_core(dynamics, cfg, cost, x0, bounds, x_init, u_init):
+def _fused_core(dynamics, cfg, bounds_t, cost, x0, x_init, u_init):
     from diff_qp_mpc_tpu.ops.al_fused_pallas import fused_al_solve
 
+    u_lo, u_hi = bounds_t
     xu, lamd, lamh, laml, res = fused_al_solve(
-        dynamics, cost.Cd, cost.c, x0, bounds.u_lo, bounds.u_hi,
+        dynamics, cost.Cd, cost.c, x0, u_lo, u_hi,
         x_init, u_init, al_iter=cfg.al_iter, n_newton=cfg.n_newton,
         n_ls=cfg.n_ls, rho_factor=cfg.rho_factor, rho_max=cfg.rho_max,
         reg=cfg.reg)
@@ -338,15 +343,17 @@ def _fused_DO(dynamics, cfg, cost, x0, bounds, xu, lamd, lamh, laml):
     return D, O
 
 
-def _fused_solve_fwd(dynamics, cfg, cost, x0, bounds, x_init, u_init):
+def _fused_solve_fwd(dynamics, cfg, bounds_t, cost, x0, x_init, u_init):
     xu, res, lamd, lamh, laml = _fused_core(
-        dynamics, cfg, cost, x0, bounds, x_init, u_init)
+        dynamics, cfg, bounds_t, cost, x0, x_init, u_init)
+    bounds = Bounds(u_lo=jnp.asarray(bounds_t[0], x0.dtype),
+                    u_hi=jnp.asarray(bounds_t[1], x0.dtype))
     D, O = _fused_DO(dynamics, cfg, cost, x0, bounds, xu, lamd, lamh, laml)
-    return (xu, res), (xu, D, O, cost, x0, bounds, x_init, u_init)
+    return (xu, res), (xu, D, O, cost, x0, x_init, u_init)
 
 
-def _fused_solve_bwd(dynamics, cfg, saved, cts):
-    xu, D, O, cost, x0, bounds, x_init, u_init = saved
+def _fused_solve_bwd(dynamics, cfg, bounds_t, saved, cts):
+    xu, D, O, cost, x0, x_init, u_init = saved
     ct_xu, _ct_res = cts
     nx0 = x0.shape[-1]
     ct_xu = ct_xu.at[:, 0, :nx0].set(0.0)
@@ -355,7 +362,7 @@ def _fused_solve_bwd(dynamics, cfg, saved, cts):
         jax.tree.map(jnp.zeros_like, cost),
         Cd=(g * xu).astype(cost.Cd.dtype), c=g.astype(cost.c.dtype))
     zeros = lambda v: jax.tree.map(jnp.zeros_like, v)
-    return (d_cost, zeros(x0), zeros(bounds), zeros(x_init), zeros(u_init))
+    return (d_cost, zeros(x0), zeros(x_init), zeros(u_init))
 
 
 _fused_solve_diff.defvjp(_fused_solve_fwd, _fused_solve_bwd)
@@ -370,16 +377,20 @@ def solve_fused(dynamics: DynamicsModel, cost: DiagQuadCost, x0: Array,
     call; returns (x, u, dyn_res). For models whose step is elementwise
     (pendulum/integrator/CartpoleCosSin). Gradients flow to cost (Cd, c).
     """
+    import numpy as _np
+
     nx = x0.shape[-1]
     bsz = x0.shape[0]
+    bounds_t = (tuple(float(v) for v in _np.asarray(bounds.u_lo)),
+                tuple(float(v) for v in _np.asarray(bounds.u_hi)))
     if u_init is None:
         u_init = jnp.zeros((bsz, cost.Cd.shape[1], dynamics.nu), x0.dtype)
     if x_init is None:
         x_init = dynamics.rollout(jax.lax.stop_gradient(x0), u_init)
     if differentiable:
-        xu, res = _fused_solve_diff(dynamics, cfg, cost, x0, bounds,
+        xu, res = _fused_solve_diff(dynamics, cfg, bounds_t, cost, x0,
                                     x_init, u_init)
     else:
-        xu, res = _fused_core(dynamics, cfg, cost, x0, bounds,
+        xu, res = _fused_core(dynamics, cfg, bounds_t, cost, x0,
                               x_init, u_init)[:2]
     return xu[..., :nx], xu[..., nx:], res
