@@ -66,8 +66,11 @@ class TrackingMPC:
         xu_ref = jnp.concatenate([x_ref, u_ref], axis=-1)
         cost = self.cost(xu_ref)
         if self.use_fused:
+            # pass the STATIC python-tuple bounds (solve_fused needs
+            # compile-time constants; jnp arrays become tracers here)
             x, u, res = al_mpc.solve_fused(
-                self.model, cost, x0, self.bounds(x0.dtype), self.cfg,
+                self.model, cost, x0,
+                Bounds(u_lo=self.u_lo, u_hi=self.u_hi), self.cfg,
                 x_init=x_init, u_init=u_init)
             return x, u, state, res
         x, u, new_state, stats = al_mpc.solve(
