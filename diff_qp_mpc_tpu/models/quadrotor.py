@@ -11,6 +11,7 @@ physical parameters, act_scale = 100.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from diff_qp_mpc_tpu.models.base import DynamicsModel, rk4
 from diff_qp_mpc_tpu.models.rotation import mrp_kinematics, mrp_to_quat, quat_rotate
@@ -95,3 +96,104 @@ class RexQuadrotor(DynamicsModel):
 
     def __hash__(self):
         return hash((type(self), self.m, self.dt, self.kf, self.km))
+
+
+def _parts_rk4(ode_parts, xs, us, dt):
+    """RK4 on tuples of same-shaped arrays (for step_parts)."""
+    add = lambda a, b, s: tuple(ai + s * bi for ai, bi in zip(a, b))
+    k1 = ode_parts(xs, us)
+    k2 = ode_parts(add(xs, k1, 0.5 * dt), us)
+    k3 = ode_parts(add(xs, k2, 0.5 * dt), us)
+    k4 = ode_parts(add(xs, k3, dt), us)
+    return tuple(x + (dt / 6.0) * (a + 2 * b + 2 * c + d)
+                 for x, a, b, c, d in zip(xs, k1, k2, k3, k4))
+
+
+def _quad_ode_parts(model: "RexQuadrotor", xs, us):
+    """Coordinate-wise quadrotor ODE (RexQuadrotor.step_parts backend).
+
+    Everything is closed-form polynomial/rational in the 12 state coords —
+    MRP→quaternion, quaternion rotation, MRP kinematics, Newton–Euler —
+    so the fused Pallas kernels run this model directly."""
+    r = xs[0:3]
+    m = xs[3:6]
+    v = xs[6:9]
+    w = xs[9:12]
+    u = tuple(model.act_scale * ui for ui in us)
+
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    def quat_of(mrp):
+        sq = mrp[0] ** 2 + mrp[1] ** 2 + mrp[2] ** 2
+        inv = 1.0 / (1.0 + sq)
+        return ((1.0 - sq) * inv, 2 * mrp[0] * inv, 2 * mrp[1] * inv,
+                2 * mrp[2] * inv)
+
+    def quat_rot(q, vec):
+        qs, qv = q[0], q[1:]
+        c = cross(qv, vec)
+        dot_qv = qv[0] ** 2 + qv[1] ** 2 + qv[2] ** 2
+        dot_qr = qv[0] * vec[0] + qv[1] * vec[1] + qv[2] * vec[2]
+        return tuple((qs * qs - dot_qv) * vec[i] + 2 * qv[i] * dot_qr
+                     + 2 * qs * c[i] for i in range(3))
+
+    # forces (body frame)
+    F_z = model.kf * (u[0] + u[1] + u[2] + u[3])
+    g_vec = (m[0] * 0.0, m[0] * 0.0, m[0] * 0.0 - 9.81 * model.m)
+    q_inv = quat_of(tuple(-mi for mi in m))
+    g_body = quat_rot(q_inv, g_vec)
+    # drag terms (cd defaults to 0 — match the array path exactly)
+    cdv = np.asarray(model._cd)
+    cAv = np.asarray(model._cross_A)
+    df = tuple(-jnp.sign(m[i]) * 0.5 * 1.27 * m[i] * m[i]
+               * float(cdv[i]) * float(cAv[i]) for i in range(3))
+    Bf_z = 4.0 * model.bf
+    F = (g_body[0] + df[0], g_body[1] + df[1],
+         g_body[2] + df[2] + F_z + Bf_z)
+
+    # moments
+    Mk = tuple(model.km * ui for ui in u)
+    tau3 = Mk[0] - Mk[1] + Mk[2] - Mk[3]
+    ss = np.asarray(model._ss)  # [4, 3] static
+    t0 = t1 = t2 = m[0] * 0.0
+    for k in range(4):
+        arm = (model.motor_dist * float(ss[k, 0]),
+               model.motor_dist * float(ss[k, 1]),
+               model.motor_dist * float(ss[k, 2]))
+        thrust = model.kf * u[k] + model.bf
+        # arm × (0, 0, thrust)
+        t0 = t0 + arm[1] * thrust
+        t1 = t1 - arm[0] * thrust
+    tau = (t0, t1, t2 + tau3)
+
+    # kinematics
+    q = quat_of(m)
+    rdot = quat_rot(q, v)
+    p0, p1, p2 = m
+    A1 = (1 + p0**2 - p1**2 - p2**2, 2 * (p0 * p1 - p2), 2 * (p0 * p2 + p1))
+    A2 = (2 * (p1 * p0 + p2), 1 - p0**2 + p1**2 - p2**2, 2 * (p1 * p2 - p0))
+    A3 = (2 * (p2 * p0 - p1), 2 * (p2 * p1 + p0), 1 - p0**2 - p1**2 + p2**2)
+    mdot = tuple(0.25 * (row[0] * w[0] + row[1] * w[1] + row[2] * w[2])
+                 for row in (A1, A2, A3))
+
+    wxv = cross(w, v)
+    vdot = tuple(F[i] / model.m - wxv[i] for i in range(3))
+    J = np.asarray(model._J)
+    Jinv = np.asarray(model._Jinv)
+    Jw = tuple(sum(float(J[i, j]) * w[j] for j in range(3)) for i in range(3))
+    wxJw = cross(w, Jw)
+    rhs = tuple(tau[i] - wxJw[i] for i in range(3))
+    wdot = tuple(sum(float(Jinv[i, j]) * rhs[j] for j in range(3))
+                 for i in range(3))
+    return rdot + mdot + vdot + wdot
+
+
+def _quad_step_parts(self, xs, us):
+    return _parts_rk4(lambda x, u: _quad_ode_parts(self, x, u),
+                      xs, us, self.dt)
+
+
+RexQuadrotor.step_parts = _quad_step_parts
