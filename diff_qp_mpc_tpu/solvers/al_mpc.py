@@ -105,7 +105,6 @@ def _al_core(dynamics: DynamicsModel, cfg: ALConfig, cost: DiagQuadCost,
     rho = state.rho
 
     xu = jnp.concatenate([x, u], axis=-1)
-    res0 = almerit.residuals(dyn, x, u, x0, bounds)
     cost_start = almerit.compute_cost(cost, xu)
     lam_ws, rho_ws = warm_start(lam, rho, cost_start, state)
     lam = jax.tree.map(

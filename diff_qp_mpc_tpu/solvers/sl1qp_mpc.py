@@ -145,8 +145,6 @@ def solve(dynamics: Union[DynamicsModel, LinDx], cost: Cost, x0: Array,
     u = u_init
     x = x_init if x_init is not None else sqp_mpc._rollout(dynamics, x0, u)
     cost_cur = almerit.compute_cost(dcost, jnp.concatenate([x, u], -1))
-    neq = T * nx
-    nineq = 2 * T * nu
     nw = T * n
 
     def one_qp(x, u):
