@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from diff_qp_mpc_tpu.core.types import ALState, Bounds, DiagQuadCost
 from diff_qp_mpc_tpu.learning.deq import DEQLayer
 from diff_qp_mpc_tpu.models.base import DynamicsModel
-from diff_qp_mpc_tpu.solvers import al_mpc
+from diff_qp_mpc_tpu.solvers import al_mpc, sqp_mpc
 
 Array = jnp.ndarray
 
@@ -30,8 +30,13 @@ class TrackingMPC:
     """Diagonal-cost tracking MPC wrapper (policies.py:567-687).
 
     Builds Cd = diag(Q, R) and p = −Cd·τ_ref (policies.py:669-680) and
-    solves the box-constrained AL-MPC. Stateless; AL warm-start state is
-    passed explicitly.
+    solves the box-constrained MPC with the selected backend. Stateless;
+    AL warm-start state is passed explicitly.
+
+    ``solver_type`` mirrors the reference's Tracking_MPC dispatch
+    (policies.py:605-662): "al" → AL_mpc.MPC (the DEQ-MPC training
+    default), "ip" → the interior-point SQP solver (qp_wrapper.MPC via
+    ip_mpc, i.e. our solvers.sqp_mpc), both differentiable.
     """
 
     model: DynamicsModel
@@ -41,6 +46,8 @@ class TrackingMPC:
     u_lo: Tuple[float, ...]
     u_hi: Tuple[float, ...]
     cfg: al_mpc.ALConfig = al_mpc.ALConfig()
+    solver_type: str = "al"  # "al" | "ip"
+    sqp_cfg: sqp_mpc.SQPConfig = sqp_mpc.SQPConfig(qp_iter=2)
     # route solves through the fused whole-solver Pallas kernel
     # (ops/al_fused_pallas; fresh-lambda semantics — exactly what this
     # reinitialized-per-forward training path uses)
@@ -65,6 +72,12 @@ class TrackingMPC:
               x_init: Optional[Array] = None, u_init: Optional[Array] = None):
         xu_ref = jnp.concatenate([x_ref, u_ref], axis=-1)
         cost = self.cost(xu_ref)
+        if self.solver_type == "ip":
+            res = sqp_mpc.solve(
+                self.model, cost, x0, self.bounds(x0.dtype),
+                u_init=u_init if u_init is not None else u_ref,
+                x_init=x_init, cfg=self.sqp_cfg, differentiable=True)
+            return res.x, res.u, state, res.qp_resid
         if self.use_fused:
             # pass the STATIC python-tuple bounds (solve_fused needs
             # compile-time constants; jnp arrays become tracers here)

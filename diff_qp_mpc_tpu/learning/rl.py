@@ -1,15 +1,27 @@
-"""PPO expert training, JAX-native (the deqmpc/ppo_train.py slot).
+"""RL expert training (PPO + SAC), JAX-native (the deqmpc/ppo_train.py slot).
 
 The reference ships torch PPO/SAC/CGAC infrastructure but only *uses* it to
 load pre-trained checkpoints for expert-data generation
-(datagen.py:145-276). Here: a compact, fully-jitted PPO (clipped surrogate
-+ GAE) over the functional envs — rollouts are a lax.scan over env.step,
-so collection + update is one XLA program per iteration. Trained policies
-plug into learning/datagen via ``ppo_expert_rollouts``.
+(datagen.py:145-276); its swing-up experts are SAC/CGAC policies
+(ppo_train.py:213-260 GaussianPolicy, :59-211 CGACGaussianPolicy +
+CGACRunningMeanStd). Here both algorithms are rebuilt fully-jitted:
+
+* PPO — clipped surrogate + GAE; rollouts are a lax.scan over env.step, so
+  collection + update is one XLA program per iteration.
+* SAC — twin-Q soft actor-critic with automatic entropy tuning and the
+  reference's tanh-squashed Gaussian actor (sample/log-prob semantics of
+  ppo_train.py:239-254, incl. the action-bound log-det correction), a
+  device-resident ring replay buffer, and an optional CGAC-style running
+  mean/std observation normalizer (ppo_train.py:59-131). The whole
+  (env-step → buffer insert → K gradient updates) block is a lax.scan, so
+  thousands of SAC updates run as one XLA program.
+
+Trained policies plug into learning/datagen via ``ppo_expert_rollouts`` /
+``sac_expert_rollouts``.
 
 Usage:
-    python -m diff_qp_mpc_tpu.learning.rl --env pendulum --iters 300 \
-        --platform cpu
+    python -m diff_qp_mpc_tpu.learning.rl --env pendulum --algo sac \
+        --iters 30000 --platform cpu
 """
 from __future__ import annotations
 
@@ -235,20 +247,380 @@ def ppo_expert_rollouts(env, params, net, num_traj: int, max_steps: int = 200,
     return trajs
 
 
+# ---------------------------------------------------------------------------
+# SAC (the reference's swing-up expert algorithm, ppo_train.py:213-260 +
+# the soft-actor-critic trainer it loads checkpoints from)
+# ---------------------------------------------------------------------------
+
+LOG_SIG_MIN, LOG_SIG_MAX = -20.0, 2.0  # ppo_train.py clamp bounds
+
+
+class GaussianActor(nn.Module):
+    """Tanh-squashed Gaussian actor (reference GaussianPolicy,
+    ppo_train.py:213-254): state-dependent mean/log_std, action rescaled by
+    (high-low)/2 and biased by (high+low)/2."""
+
+    nu: int
+    hdim: int = 256
+
+    @nn.compact
+    def __call__(self, x: Array):
+        h = nn.relu(nn.Dense(self.hdim)(x))
+        h = nn.relu(nn.Dense(self.hdim)(h))
+        mean = nn.Dense(self.nu)(h)
+        log_std = jnp.clip(nn.Dense(self.nu)(h), LOG_SIG_MIN, LOG_SIG_MAX)
+        return mean, log_std
+
+
+class TwinQ(nn.Module):
+    """Twin Q networks (standard SAC critic; the reference loads critics
+    from the same pytorch-soft-actor-critic layout)."""
+
+    hdim: int = 256
+
+    @nn.compact
+    def __call__(self, x: Array, u: Array):
+        xu = jnp.concatenate([x, u], axis=-1)
+
+        def q(xu):
+            h = nn.relu(nn.Dense(self.hdim)(xu))
+            h = nn.relu(nn.Dense(self.hdim)(h))
+            return nn.Dense(1)(h)[..., 0]
+
+        return q(xu), q(xu)
+
+
+@dataclasses.dataclass(frozen=True)
+class SACConfig:
+    n_envs: int = 16
+    buffer_size: int = 200_000
+    batch_size: int = 256
+    updates_per_iter: int = 8      # grad updates per vectorized env step
+    gamma: float = 0.99
+    tau: float = 0.005             # target-net Polyak rate
+    lr: float = 3e-4
+    warmup_steps: int = 1_000      # random-action transitions before training
+    auto_alpha: bool = True        # automatic entropy-temperature tuning
+    init_alpha: float = 0.2
+    normalize_obs: bool = False    # CGAC-style running mean/std (ppo_train.py:59-131)
+    block: int = 100               # iterations fused into one jitted scan
+
+
+class SACState(NamedTuple):
+    actor: any
+    q: any
+    q_targ: any
+    log_alpha: Array
+    opt_a: any
+    opt_q: any
+    opt_alpha: any
+    # ring replay buffer (device-resident)
+    buf_obs: Array
+    buf_act: Array
+    buf_rew: Array
+    buf_next: Array
+    buf_mask: Array
+    ptr: Array
+    size: Array
+    # CGAC-style running obs statistics
+    obs_mean: Array
+    obs_var: Array
+    obs_count: Array
+    env_state: EnvState
+    key: Array
+
+
+def make_sac(env, cfg: SACConfig):
+    actor_net = GaussianActor(nu=env.nu)
+    q_net = TwinQ()
+    lo = jnp.asarray(env.action_space.low, jnp.float32)
+    hi = jnp.asarray(env.action_space.high, jnp.float32)
+    act_scale = (hi - lo) / 2.0
+    act_bias = (hi + lo) / 2.0
+    target_entropy = -float(env.nu)
+    opt = optax.adam(cfg.lr)
+
+    def norm_obs(st: "SACState", obs):
+        if not cfg.normalize_obs:
+            return obs
+        return jnp.clip((obs - st.obs_mean) / jnp.sqrt(st.obs_var + 1e-5),
+                        -5.0, 5.0)
+
+    def update_obs_stats(st: "SACState", batch_obs):
+        """Chan/parallel-variance update (CGACRunningMeanStd.update)."""
+        if not cfg.normalize_obs:
+            return st
+        bm = batch_obs.mean(0)
+        bv = batch_obs.var(0)
+        bc = batch_obs.shape[0]
+        delta = bm - st.obs_mean
+        tot = st.obs_count + bc
+        new_mean = st.obs_mean + delta * bc / tot
+        m2 = st.obs_var * st.obs_count + bv * bc + delta ** 2 * st.obs_count * bc / tot
+        return st._replace(obs_mean=new_mean, obs_var=m2 / tot, obs_count=tot)
+
+    def sample_action(actor_params, obs, key):
+        """rsample + tanh squash + bound-corrected log-prob
+        (ppo_train.py:239-254)."""
+        mean, log_std = actor_net.apply(actor_params, obs)
+        std = jnp.exp(log_std)
+        x_t = mean + std * jax.random.normal(key, mean.shape)
+        y_t = jnp.tanh(x_t)
+        action = y_t * act_scale + act_bias
+        logp = -0.5 * (((x_t - mean) / std) ** 2 + 2 * log_std
+                       + jnp.log(2 * jnp.pi))
+        logp = logp - jnp.log(act_scale * (1 - y_t ** 2) + 1e-6)
+        return action, logp.sum(-1)
+
+    def mean_action(actor_params, obs):
+        mean, _ = actor_net.apply(actor_params, obs)
+        return jnp.tanh(mean) * act_scale + act_bias
+
+    def buffer_insert(st: "SACState", obs, act, rew, nxt, mask):
+        n = obs.shape[0]
+        idx = (st.ptr + jnp.arange(n)) % cfg.buffer_size
+        return st._replace(
+            buf_obs=st.buf_obs.at[idx].set(obs),
+            buf_act=st.buf_act.at[idx].set(act),
+            buf_rew=st.buf_rew.at[idx].set(rew),
+            buf_next=st.buf_next.at[idx].set(nxt),
+            buf_mask=st.buf_mask.at[idx].set(mask),
+            ptr=(st.ptr + n) % cfg.buffer_size,
+            size=jnp.minimum(st.size + n, cfg.buffer_size),
+        )
+
+    def grad_update(st: "SACState", key):
+        k_idx, k_act, k_next = jax.random.split(key, 3)
+        idx = jax.random.randint(k_idx, (cfg.batch_size,), 0, st.size)
+        obs = norm_obs(st, st.buf_obs[idx])
+        nxt = norm_obs(st, st.buf_next[idx])
+        act, rew, mask = st.buf_act[idx], st.buf_rew[idx], st.buf_mask[idx]
+        alpha = jnp.exp(st.log_alpha)
+
+        # critic update: soft Bellman target from target nets
+        a2, logp2 = sample_action(st.actor, nxt, k_next)
+        q1t, q2t = q_net.apply(st.q_targ, nxt, a2)
+        target = rew + cfg.gamma * mask * (jnp.minimum(q1t, q2t) - alpha * logp2)
+        target = jax.lax.stop_gradient(target)
+
+        def q_loss_fn(q_params):
+            q1, q2 = q_net.apply(q_params, obs, act)
+            return jnp.mean((q1 - target) ** 2) + jnp.mean((q2 - target) ** 2)
+
+        q_loss, gq = jax.value_and_grad(q_loss_fn)(st.q)
+        upd, opt_q = opt.update(gq, st.opt_q, st.q)
+        q_params = optax.apply_updates(st.q, upd)
+
+        # actor update (reparameterized)
+        def a_loss_fn(actor_params):
+            a, logp = sample_action(actor_params, obs, k_act)
+            q1, q2 = q_net.apply(q_params, obs, a)
+            return jnp.mean(alpha * logp - jnp.minimum(q1, q2)), logp
+
+        (a_loss, logp), ga = jax.value_and_grad(a_loss_fn, has_aux=True)(st.actor)
+        upd, opt_a = opt.update(ga, st.opt_a, st.actor)
+        actor_params = optax.apply_updates(st.actor, upd)
+
+        # entropy temperature
+        if cfg.auto_alpha:
+            def alpha_loss_fn(log_alpha):
+                return -jnp.mean(jnp.exp(log_alpha)
+                                 * jax.lax.stop_gradient(logp + target_entropy))
+
+            _, galpha = jax.value_and_grad(alpha_loss_fn)(st.log_alpha)
+            upd, opt_alpha = opt.update(galpha, st.opt_alpha, st.log_alpha)
+            log_alpha = optax.apply_updates(st.log_alpha, upd)
+        else:
+            log_alpha, opt_alpha = st.log_alpha, st.opt_alpha
+
+        q_targ = jax.tree.map(lambda t, s: (1 - cfg.tau) * t + cfg.tau * s,
+                              st.q_targ, q_params)
+        return st._replace(actor=actor_params, q=q_params, q_targ=q_targ,
+                           log_alpha=log_alpha, opt_a=opt_a, opt_q=opt_q,
+                           opt_alpha=opt_alpha), (q_loss, a_loss)
+
+    def env_step(st: "SACState", key, random_policy: bool):
+        k_act, k_reset = jax.random.split(key)
+        obs = st.env_state.x
+        if random_policy:
+            u = jax.random.uniform(k_act, (obs.shape[0], env.nu),
+                                   minval=lo, maxval=hi)
+        else:
+            u, _ = sample_action(st.actor, norm_obs(st, obs), k_act)
+        env2, reward, done = env.step(st.env_state, u)
+        nxt = env2.x
+        # infinite-horizon tasks: resets are time/success limits, not true
+        # terminals — bootstrap through them (mask=1), as is standard for
+        # gym Pendulum-style SAC
+        mask = jnp.ones_like(reward)
+        st = buffer_insert(st, obs, u, reward, nxt, mask)
+        st = update_obs_stats(st, obs)
+        env2 = env.reset_where(k_reset, env2, done)
+        return st._replace(env_state=env2), reward.mean()
+
+    def iteration(st: "SACState", _):
+        key, k_step, k_upd = jax.random.split(st.key, 3)
+        st = st._replace(key=key)
+        st, mean_r = env_step(st, k_step, random_policy=False)
+
+        def upd(st, k):
+            return grad_update(st, k)
+
+        st, losses = jax.lax.scan(upd, st,
+                                  jax.random.split(k_upd, cfg.updates_per_iter))
+        return st, (mean_r, losses[0].mean(), losses[1].mean())
+
+    @functools.partial(jax.jit, static_argnums=())
+    def train_block(st: "SACState"):
+        return jax.lax.scan(iteration, st, None, length=cfg.block)
+
+    @jax.jit
+    def warmup_block(st: "SACState"):
+        def it(st, _):
+            key, k_step = jax.random.split(st.key)
+            st = st._replace(key=key)
+            st, r = env_step(st, k_step, random_policy=True)
+            return st, r
+
+        return jax.lax.scan(it, st, None,
+                            length=max(1, cfg.warmup_steps // cfg.n_envs))
+
+    def init_state(seed: int) -> SACState:
+        key = jax.random.PRNGKey(seed)
+        key, k_a, k_q, k_reset = jax.random.split(key, 4)
+        obs0 = jnp.zeros((1, env.nx), jnp.float32)
+        act0 = jnp.zeros((1, env.nu), jnp.float32)
+        actor = actor_net.init(k_a, obs0)
+        q = q_net.init(k_q, obs0, act0)
+        log_alpha = jnp.asarray(jnp.log(cfg.init_alpha), jnp.float32)
+        return SACState(
+            actor=actor, q=q, q_targ=q,
+            log_alpha=log_alpha,
+            opt_a=opt.init(actor), opt_q=opt.init(q),
+            opt_alpha=opt.init(log_alpha),
+            buf_obs=jnp.zeros((cfg.buffer_size, env.nx), jnp.float32),
+            buf_act=jnp.zeros((cfg.buffer_size, env.nu), jnp.float32),
+            buf_rew=jnp.zeros((cfg.buffer_size,), jnp.float32),
+            buf_next=jnp.zeros((cfg.buffer_size, env.nx), jnp.float32),
+            buf_mask=jnp.zeros((cfg.buffer_size,), jnp.float32),
+            ptr=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32),
+            obs_mean=jnp.zeros((env.nx,), jnp.float32),
+            obs_var=jnp.ones((env.nx,), jnp.float32),
+            obs_count=jnp.asarray(1e-4, jnp.float32),
+            env_state=env.reset(k_reset, cfg.n_envs),
+            key=key,
+        )
+
+    return actor_net, mean_action, norm_obs, init_state, warmup_block, train_block
+
+
+def train_sac(env, cfg: SACConfig = SACConfig(), iters: int = 30_000,
+              seed: int = 0, log_every: int = 2_000, eval_rollouts: int = 64):
+    """Train SAC; returns (actor_params, act_fn) where
+    ``act_fn(params, obs) -> deterministic action`` (the reference's
+    ``policy.sample(...)[2]`` mean action used for expert rollouts,
+    datagen.py:255-262)."""
+    (actor_net, mean_action, norm_obs, init_state, warmup_block,
+     train_block) = make_sac(env, cfg)
+    st = init_state(seed)
+    st, _ = warmup_block(st)
+
+    n_blocks = max(1, iters // cfg.block)
+    for b in range(n_blocks):
+        st, (mean_r, q_loss, a_loss) = train_block(st)
+        if (b * cfg.block) % log_every < cfg.block:
+            ep_r = evaluate_policy(
+                env, lambda obs: mean_action(st.actor, norm_obs(st, obs)),
+                n=eval_rollouts, seed=seed + b)
+            print(f"iter {b * cfg.block:6d} step_r {float(mean_r[-1]):+8.4f} "
+                  f"q_loss {float(q_loss[-1]):8.4f} a_loss {float(a_loss[-1]):+8.4f} "
+                  f"alpha {float(jnp.exp(st.log_alpha)):.4f} "
+                  f"eval_ep_r {ep_r:+9.2f}", flush=True)
+
+    final_st = st
+
+    def act(obs):
+        return mean_action(final_st.actor, norm_obs(final_st, obs))
+
+    return st.actor, act
+
+
+def evaluate_policy(env, act_fn, n: int = 64, seed: int = 0,
+                    max_steps: int | None = None):
+    """Mean episode return of a deterministic policy over n parallel envs."""
+    steps = max_steps or env.max_steps
+    state = env.reset(jax.random.PRNGKey(seed), n)
+    total = jnp.zeros((n,))
+    alive = jnp.ones((n,), bool)
+    for _ in range(steps):
+        u = act_fn(state.x)
+        state, r, done = env.step(state, u)
+        total = total + r * alive
+        alive = alive & ~done
+    return float(total.mean())
+
+
+def sac_expert_rollouts(env, act_fn, num_traj: int = 300,
+                        max_steps: int | None = None, seed: int = 0):
+    """Deterministic SAC expert rollouts in the reference pickle format
+    (get_expert_traj_sac role, datagen.py:231-276): ``num_traj``
+    trajectories of (state, action) pairs, truncated at done."""
+    steps = max_steps or env.max_steps
+    state = env.reset(jax.random.PRNGKey(seed), num_traj)
+    xs, us, dones = [], [], []
+    ever = np.zeros(num_traj, bool)
+    act_jit = jax.jit(act_fn)
+    for _ in range(steps):
+        u = act_jit(state.x)
+        xs.append(np.asarray(state.x, np.float32))
+        us.append(np.asarray(u, np.float32))
+        state, _, done = env.step(state, u)
+        ever |= np.asarray(done)
+        dones.append(ever.copy())
+        if ever.all():
+            break
+    trajs = []
+    for b in range(num_traj):
+        end = len(xs)
+        for t in range(len(xs)):
+            if dones[t][b]:
+                end = t + 1
+                break
+        trajs.append([(xs[t][b], us[t][b]) for t in range(end)])
+    return trajs
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--env", type=str, default="pendulum")
+    p.add_argument("--algo", type=str, default="ppo", choices=["ppo", "sac"])
     p.add_argument("--iters", type=int, default=300)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--save_data", type=str, default=None,
                    help="write expert pickle after training")
     p.add_argument("--num_traj", type=int, default=100)
+    p.add_argument("--normalize_obs", action="store_true",
+                   help="CGAC-style running mean/std obs normalization")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
     env = make_env(args.env)
+    if args.algo == "sac":
+        cfg = SACConfig(normalize_obs=args.normalize_obs)
+        _, act_fn = train_sac(env, cfg, iters=args.iters, seed=args.seed)
+        if args.save_data:
+            from diff_qp_mpc_tpu.learning.data import save_expert_pickle
+
+            trajs = sac_expert_rollouts(env, act_fn, args.num_traj)
+            save_expert_pickle(args.save_data, trajs)
+            lens = [len(t) for t in trajs]
+            print(f"wrote {len(trajs)} expert trajectories "
+                  f"(len min/mean/max {min(lens)}/{np.mean(lens):.1f}/"
+                  f"{max(lens)}) to {args.save_data}")
+        return
+
     params, net = train_ppo(env, iters=args.iters, seed=args.seed)
     if args.save_data:
         from diff_qp_mpc_tpu.learning.data import save_expert_pickle

@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="expert pickle path (default: data/expert_traj_*)")
     p.add_argument("--expert_type", type=str, default="mpc")
     p.add_argument("--name", type=str, default=None)
+    p.add_argument("--load", action="store_true",
+                   help="resume params+optimizer from --ckpt "
+                        "(reference --load/--ckpt, train.py:126-127)")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="checkpoint path (default: <logdir>/<name>/ckpt.msgpack)")
     p.add_argument("--save", action="store_true")
     p.add_argument("--logdir", type=str, default="./logs")
     p.add_argument("--ckpt_every", type=int, default=100)
@@ -78,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_policy(args, env):
+    from diff_qp_mpc_tpu.solvers.sqp_mpc import SQPConfig
+
+    solver_type = getattr(args, "solver_type", "al")
+    if solver_type not in ("al", "ip"):
+        raise ValueError(f"--solver_type must be 'al' or 'ip', got {solver_type!r}"
+                         " (reference Tracking_MPC dispatch, policies.py:605-662)")
     tracking = TrackingMPC(
         model=env.model,
         T=args.T,
@@ -86,6 +97,8 @@ def make_policy(args, env):
         u_lo=tuple(float(v) for v in env.action_space.low),
         u_hi=tuple(float(v) for v in env.action_space.high),
         cfg=al_mpc.ALConfig(al_iter=args.qp_iter),
+        solver_type=solver_type,
+        sqp_cfg=SQPConfig(qp_iter=args.qp_iter),
         use_fused=getattr(args, 'fused', False),
     )
     if args.deq:
@@ -174,6 +187,14 @@ def main(argv=None):
         params = policy.init(key, jnp.asarray(init_batch["state"][:, 0]))
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
+    if args.load:
+        from diff_qp_mpc_tpu.utils.checkpoint import load_checkpoint
+
+        ckpt_path = args.ckpt or os.path.join(logdir, "ckpt.msgpack")
+        restored = load_checkpoint(
+            ckpt_path, {"params": params, "opt_state": opt_state})
+        params, opt_state = restored["params"], restored["opt_state"]
+        print(f"resumed params+optimizer from {ckpt_path}")
     step = make_train_step(policy, optimizer, args)
 
     losses, losses_end, dyn_resids, times = [], [], [], []

@@ -200,6 +200,34 @@ class DynamicsModel:
         return type(self) is type(other) and hash(self) == hash(other)
 
 
+class SlewAugmented(DynamicsModel):
+    """State augmentation carrying the previous control: x̃ = [x; u_prev].
+
+    This is the structured equivalent of the reference's SlewRateCost
+    wrapper (qpth/qp_wrapper.py:30-57, slew_rate_penalty/prev_ctrl
+    qp_wrapper.py:114-118,186-187): instead of bolting a cross-stage
+    penalty onto the cost (which breaks the stage-separable structure the
+    Riccati KKT kernels rely on), the previous control becomes part of the
+    state — step̃([x, u_prev], u) = [f(x, u), u] — and the slew penalty
+    s·‖u − u_prev‖² becomes an ordinary *stage* quadratic with an
+    (u_prev, u) cross block, which QuadCost represents exactly.
+    """
+
+    def __init__(self, inner: "DynamicsModel"):
+        self.inner = inner
+        self.nx = inner.nx + inner.nu
+        self.nu = inner.nu
+        self.nq = inner.nq
+        self.dt = inner.dt
+
+    def step(self, x: Array, u: Array) -> Array:
+        x_true = x[..., : self.inner.nx]
+        return jnp.concatenate([self.inner.step(x_true, u), u], axis=-1)
+
+    def __hash__(self):
+        return hash((type(self), self.inner))
+
+
 def angle_normalize(x: Array) -> Array:
     """Wrap to (-π, π] (reference: deqmpc/envs.py:56-57)."""
     return ((x + jnp.pi) % (2 * jnp.pi)) - jnp.pi

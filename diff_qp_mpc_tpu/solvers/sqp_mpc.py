@@ -144,20 +144,91 @@ def line_search(dynamics, cost: QuadCost, x, u, dx, du, x0, cost_cur,
     return x_new, u_new, alphas[idx], costs[idx, bidx]
 
 
+def _augment_slew(dynamics, dcost: QuadCost, x0, u_init, x_init,
+                  slew: float, prev_ctrl: Optional[Array]):
+    """Rewrite the problem over x̃ = [x, u_prev] so the slew penalty
+    s·‖u_t − u_{t−1}‖² is a *stage* quadratic (reference SlewRateCost /
+    slew_rate_penalty, qp_wrapper.py:30-57,442-457 — which the reference
+    itself flags as broken with its line search; state augmentation keeps
+    the cost stage-separable so every solver path works unchanged)."""
+    from diff_qp_mpc_tpu.models.base import SlewAugmented
+
+    bsz, T, nu = u_init.shape
+    nx = x0.shape[-1]
+    na = nx + 2 * nu  # [x, u_prev, u]
+    xs, us = slice(0, nx), slice(nx + nu, nx + 2 * nu)
+    up = slice(nx, nx + nu)
+    C = jnp.zeros((bsz, T, na, na), dcost.C.dtype)
+    C = C.at[:, :, xs, xs].set(dcost.C[:, :, :nx, :nx])
+    C = C.at[:, :, xs, us].set(dcost.C[:, :, :nx, nx:])
+    C = C.at[:, :, us, xs].set(dcost.C[:, :, nx:, :nx])
+    C = C.at[:, :, us, us].set(dcost.C[:, :, nx:, nx:])
+    eye = jnp.eye(nu, dtype=dcost.C.dtype)
+    # no penalty at t=0 unless prev_ctrl is known (qp_wrapper.py:457)
+    s_t = jnp.full((T,), slew, dcost.C.dtype)
+    if prev_ctrl is None:
+        s_t = s_t.at[0].set(0.0)
+    sb = s_t[None, :, None, None]
+    C = C.at[:, :, up, up].add(sb * eye)
+    C = C.at[:, :, us, us].add(sb * eye)
+    C = C.at[:, :, up, us].add(-sb * eye)
+    C = C.at[:, :, us, up].add(-sb * eye)
+    c = jnp.zeros((bsz, T, na), dcost.c.dtype)
+    c = c.at[:, :, xs].set(dcost.c[:, :, :nx])
+    c = c.at[:, :, us].set(dcost.c[:, :, nx:])
+
+    u_prev0 = (jnp.broadcast_to(prev_ctrl, (bsz, nu))
+               if prev_ctrl is not None else jnp.zeros((bsz, nu), x0.dtype))
+    x0_a = jnp.concatenate([x0, u_prev0], axis=-1)
+    x_init_a = None
+    if x_init is not None:
+        up_hist = jnp.concatenate([u_prev0[:, None], u_init[:, :-1]], axis=1)
+        x_init_a = jnp.concatenate([x_init, up_hist], axis=-1)
+    return SlewAugmented(dynamics), QuadCost(C=C, c=c), x0_a, x_init_a
+
+
 def solve(dynamics: Union[DynamicsModel, LinDx], cost: Cost, x0: Array,
           bounds: Bounds, u_init: Array, x_init: Optional[Array] = None,
-          cfg: SQPConfig = SQPConfig(), differentiable: bool = True
+          cfg: SQPConfig = SQPConfig(), differentiable: bool = True,
+          slew_rate_penalty: Optional[float] = None,
+          prev_ctrl: Optional[Array] = None,
+          x_goal: Optional[Array] = None, goal_weight: float = 1e6
           ) -> SQPResult:
     """Batched SQP MPC solve (qp_wrapper.py MPC.forward → solve_nonlin).
 
     u_init: [bsz, T, nu] warm start; x_init optional (rolled out if absent).
     Gradients (when ``differentiable``) flow through the final QP w.r.t.
     cost (C, c) and x0.
+
+    ``slew_rate_penalty``/``prev_ctrl``: s·‖u_t − u_{t−1}‖² penalty via
+    state augmentation (see _augment_slew; reference qp_wrapper.py:30-57).
+    ``x_goal``: terminal goal handled as a stiff terminal penalty
+    (goal_weight·‖x_T − g‖², exact as goal_weight→∞) — the structured
+    analog of the reference's optional goal equality rows
+    (qp_wrapper.py:193-210,641-655), which keeps the KKT system
+    block-tridiagonal for the Riccati kernel.
     """
     bsz, T, nu = u_init.shape
     nx = x0.shape[-1]
     n = nx + nu
     dcost = _dense_cost(cost, bsz, T, n)
+
+    if x_goal is not None:
+        # applied BEFORE slew augmentation so the terminal penalty rides
+        # along in the embedded x-block of the augmented cost
+        g = jnp.broadcast_to(jnp.asarray(x_goal, dcost.c.dtype), (bsz, nx))
+        eye = goal_weight * jnp.eye(nx, dtype=dcost.C.dtype)
+        dcost = QuadCost(
+            C=dcost.C.at[:, -1, :nx, :nx].add(eye),
+            c=dcost.c.at[:, -1, :nx].add(-goal_weight * g))
+
+    if slew_rate_penalty is not None and not isinstance(dynamics, LinDx):
+        dyn_a, dcost_a, x0_a, x_init_a = _augment_slew(
+            dynamics, dcost, x0, u_init, x_init, slew_rate_penalty, prev_ctrl)
+        res = solve(dyn_a, dcost_a, x0_a, bounds, u_init, x_init_a, cfg,
+                    differentiable)
+        return SQPResult(x=res.x[..., :nx], u=res.u, cost=res.cost,
+                         alpha=res.alpha, qp_resid=res.qp_resid)
 
     u = u_init
     x = x_init if x_init is not None else _rollout(dynamics, jax.lax.stop_gradient(x0), u)

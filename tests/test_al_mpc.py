@@ -76,8 +76,9 @@ def test_warm_start_improves_second_solve():
     x, u, s1, stats1 = al_mpc.solve(model, cost, x0, bounds, state, cfg)
     assert not bool(s1.just_initialized)
     x2, u2, s2, stats2 = al_mpc.solve(model, cost, x0, bounds, s1, cfg)
-    # warm-started re-solve of the same problem keeps residual at least as good
-    assert float(stats2.dyn_res.mean()) <= float(stats1.dyn_res.mean()) * 10 + 1e-6
+    # warm-started re-solve of the same problem must not regress the
+    # residual (small slack for float noise only)
+    assert float(stats2.dyn_res.mean()) <= float(stats1.dyn_res.mean()) * 1.05 + 1e-8
 
 
 def test_implicit_gradient_matches_exact_kkt_sensitivity():

@@ -122,7 +122,7 @@ def test_deq_policy_forward_and_grad():
 # --------------------------------------------------------------------------
 
 
-def make_deqmpc(T=5, deq_iter=2, hdim=16):
+def make_deqmpc(T=5, deq_iter=2, hdim=16, solver_type="al"):
     env = IntegratorEnv()
     tracking = TrackingMPC(
         model=env.model, T=T,
@@ -131,6 +131,7 @@ def make_deqmpc(T=5, deq_iter=2, hdim=16):
         u_lo=tuple(float(v) for v in env.action_space.low),
         u_hi=tuple(float(v) for v in env.action_space.high),
         cfg=al_mpc.ALConfig(al_iter=2),
+        solver_type=solver_type,
     )
     pol = DEQMPCPolicy(nx=2, nu=1, nq=1, T=T, hdim=hdim, dt=env.model.dt,
                        tracking=tracking, deq_iter=deq_iter, out_type=2)
@@ -188,6 +189,30 @@ def test_deqmpc_training_reduces_loss():
                                        states[:, :5], actions[:, :5], mask[:, :5])
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
+
+
+@pytest.mark.parametrize("solver_type", ["al", "ip"])
+def test_deqmpc_tracking_backends_train_one_step(solver_type):
+    """Both Tracking_MPC backends (reference policies.py:605-662:
+    solver_type 'al' → AL_mpc, 'ip' → qp_wrapper SQP) must run a training
+    step with finite loss and nonzero gradients."""
+    env, pol = make_deqmpc(T=5, deq_iter=2, hdim=16, solver_type=solver_type)
+    x = jnp.asarray(np.random.RandomState(0).uniform(-1, 1, (8, 2)), jnp.float32)
+    params = pol.init(jax.random.PRNGKey(0), x, qp_solve=False)
+
+    gt_s = jnp.zeros((8, 5, 2))
+    gt_a = jnp.zeros((8, 5, 1))
+    m = jnp.ones((8, 5))
+
+    @jax.jit
+    def loss_fn(p):
+        its, dyn_res = pol.apply(p, x, qp_solve=True)
+        loss, _ = losses_mod.compute_loss_deqmpc(2, gt_s, gt_a, m, its)
+        return loss
+
+    loss, g = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    assert float(optax.global_norm(g)) > 0
 
 
 def test_deq_conv_layer_variant():

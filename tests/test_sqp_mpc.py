@@ -87,6 +87,78 @@ def test_bounds_respected():
     assert float(jnp.abs(res.u).max()) <= 1.0 + 1e-6
 
 
+def test_slew_rate_penalty_smooths_controls():
+    """qp_wrapper.py:30-57 SlewRateCost analog (state augmentation): a big
+    slew penalty must shrink Σ‖u_t − u_{t−1}‖² vs the unpenalized solve,
+    and prev_ctrl anchors u_0."""
+    model = Integrator(nx=2, nu=1, dt=0.1)
+    bsz, T, nx, nu = 3, 8, 2, 1
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (bsz, nx), jnp.float64) * 2
+    cost = tracking_cost(bsz, T, nx, nu)
+    bounds = Bounds(u_lo=jnp.array([-3.0]), u_hi=jnp.array([3.0]))
+    u0 = jnp.zeros((bsz, T, nu), jnp.float64)
+
+    res_plain = sqp_mpc.solve(model, cost, x0, bounds, u0,
+                              cfg=SQPConfig(qp_iter=3), differentiable=False)
+    res_slew = sqp_mpc.solve(model, cost, x0, bounds, u0,
+                             cfg=SQPConfig(qp_iter=3), differentiable=False,
+                             slew_rate_penalty=50.0)
+
+    def slew_energy(u):
+        return float(jnp.sum((u[:, 1:] - u[:, :-1]) ** 2))
+
+    assert slew_energy(res_slew.u) < 0.2 * slew_energy(res_plain.u)
+    # with prev_ctrl the first control is pulled toward it too
+    prev = jnp.full((bsz, nu), 0.5, jnp.float64)
+    res_prev = sqp_mpc.solve(model, cost, x0, bounds, u0,
+                             cfg=SQPConfig(qp_iter=3), differentiable=False,
+                             slew_rate_penalty=50.0, prev_ctrl=prev)
+    gap_prev = float(jnp.abs(res_prev.u[:, 0] - prev).mean())
+    gap_noprev = float(jnp.abs(res_slew.u[:, 0] - prev).mean())
+    assert gap_prev < gap_noprev
+
+
+def test_goal_constraint_reaches_goal():
+    """Terminal goal rows (qp_wrapper.py:193-210,641-655 analog, via stiff
+    terminal penalty): x_T must hit x_goal far beyond what the tracking
+    cost alone achieves."""
+    model = Integrator(nx=2, nu=1, dt=0.1)
+    bsz, T, nx, nu = 2, 10, 2, 1
+    x0 = jnp.array([[2.0, 0.0], [-1.0, 0.5]], jnp.float64)
+    cost = tracking_cost(bsz, T, nx, nu, q=0.01, r=0.01)  # weak tracking
+    bounds = Bounds(u_lo=jnp.array([-50.0]), u_hi=jnp.array([50.0]))
+    u0 = jnp.zeros((bsz, T, nu), jnp.float64)
+    goal = jnp.array([1.0, 0.0], jnp.float64)
+
+    res_plain = sqp_mpc.solve(model, cost, x0, bounds, u0,
+                              cfg=SQPConfig(qp_iter=4), differentiable=False)
+    res_goal = sqp_mpc.solve(model, cost, x0, bounds, u0,
+                             cfg=SQPConfig(qp_iter=4), differentiable=False,
+                             x_goal=goal, goal_weight=1e8)
+    gap_goal = float(jnp.abs(res_goal.x[:, -1] - goal).max())
+    gap_plain = float(jnp.abs(res_plain.x[:, -1] - goal).max())
+    assert gap_goal < 1e-4, gap_goal
+    assert gap_plain > 0.1  # the cost alone does NOT reach the goal
+
+
+def test_slew_and_goal_compose():
+    """Regression: x_goal must survive the slew-rate state augmentation
+    (the goal penalty is applied before augmentation and rides along in
+    the embedded x-block)."""
+    model = Integrator(nx=2, nu=1, dt=0.1)
+    bsz, T, nu = 1, 20, 1
+    x0 = jnp.array([[2.0, 0.0]])
+    cost = tracking_cost(bsz, T, 2, nu, q=1.0, r=0.01)
+    bounds = Bounds(u_lo=jnp.array([-5.0]), u_hi=jnp.array([5.0]))
+    res = sqp_mpc.solve(model, cost, x0, bounds,
+                        jnp.zeros((bsz, T, nu), jnp.float64),
+                        cfg=SQPConfig(qp_iter=5), differentiable=False,
+                        slew_rate_penalty=5.0,
+                        prev_ctrl=jnp.zeros((bsz, nu), jnp.float64),
+                        x_goal=jnp.array([0.0, 0.0]), goal_weight=1e8)
+    assert float(jnp.abs(res.x[0, -1]).max()) < 1e-4, res.x[0, -1]
+
+
 def test_differentiable_through_solution():
     """autograd through the MPC solution (mpc_test.py:93 analog) + FD check
     on the tracking-target gradient."""
