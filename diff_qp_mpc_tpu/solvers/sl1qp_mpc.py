@@ -133,32 +133,41 @@ def sl1qpify(Q, q, G, h, A, mu: float):
 
 def solve(dynamics: Union[DynamicsModel, LinDx], cost: Cost, x0: Array,
           bounds: Bounds, u_init: Array, x_init: Optional[Array] = None,
-          cfg: SL1QPConfig = SL1QPConfig()) -> SL1QPResult:
-    """Batched SL1QP MPC solve (sl1qp_mpc.py MPC.forward → solve_nonlin)."""
+          cfg: SL1QPConfig = SL1QPConfig(), differentiable: bool = True
+          ) -> SL1QPResult:
+    """Batched SL1QP MPC solve (sl1qp_mpc.py MPC.forward → solve_nonlin).
+
+    Differentiation matches the reference (sl1qp_mpc.py:301-331: the final
+    elastic QP carries gradients via QPFunction.backward): the SQP
+    iterations run gradient-free; one final elastic QP at the best iterate
+    carries gradients w.r.t. cost (C, c) and x0 through the
+    elastic_traj_qp_layer custom_vjp, with the same straight-through
+    value/gradient split as solvers.sqp_mpc.
+    """
+    from diff_qp_mpc_tpu.solvers import trajqp
+
     bsz, T, nu = u_init.shape
     nx = x0.shape[-1]
     n = nx + nu
     dcost = sqp_mpc._dense_cost(cost, bsz, T, n)
-    dcost = jax.lax.stop_gradient(dcost)
-    x0 = jax.lax.stop_gradient(x0)
+    dcost_ng = jax.lax.stop_gradient(dcost)
+    x0_ng = jax.lax.stop_gradient(x0)
+    tq_cfg = trajqp.TrajQPConfig(max_iter=cfg.qp.max_iter)
 
     u = u_init
-    x = x_init if x_init is not None else sqp_mpc._rollout(dynamics, x0, u)
-    cost_cur = almerit.compute_cost(dcost, jnp.concatenate([x, u], -1))
+    x = x_init if x_init is not None else sqp_mpc._rollout(dynamics, x0_ng, u)
+    cost_cur = almerit.compute_cost(dcost_ng, jnp.concatenate([x, u], -1))
     nw = T * n
 
     def one_qp(x, u):
         A, B, f = sqp_mpc._linearize(dynamics, x, u)
         if cfg.backend == "riccati":
-            from diff_qp_mpc_tpu.solvers import trajqp
-
             sol = trajqp.solve_elastic(
-                dcost.C, dcost.c, A, B, f, x0, bounds, cfg.mu,
-                cfg=trajqp.TrajQPConfig(max_iter=cfg.qp.max_iter),
-                x_init=x, u_init=u)
+                dcost_ng.C, dcost_ng.c, A, B, f, x0_ng, bounds, cfg.mu,
+                cfg=tq_cfg, x_init=x, u_init=u)
             return sol.x, sol.u, sol.slack_l1
         Qd, qd, Gd, hd, Aeq, beq = _assemble_traj_qp(
-            dcost.C, dcost.c, A, B, f, x0, bounds)
+            dcost_ng.C, dcost_ng.c, A, B, f, x0_ng, bounds)
         Q2, q2, G2, h2, A2 = sl1qpify(Qd, qd, Gd, hd, Aeq, cfg.mu)
         sol = qp_layer_mod.qp_solve(Q2, q2, G2, h2, A2, beq, cfg.qp)
         w = sol.z[:, :nw].reshape(bsz, T, n)
@@ -169,7 +178,7 @@ def solve(dynamics: Union[DynamicsModel, LinDx], cost: Cost, x0: Array,
         x, u, cost_cur, best_x, best_u, best_cost, _ = carry
         x_hat, u_hat, slack = one_qp(x, u)
         x, u, alpha, cost_new = sqp_mpc.line_search(
-            dynamics, dcost, x, u, x_hat - x, u_hat - u, x0, cost_cur,
+            dynamics, dcost_ng, x, u, x_hat - x, u_hat - u, x0_ng, cost_cur,
             cfg.ls_decay, cfg.max_ls)
         better = cost_new <= best_cost
         sel = lambda nw_, old: jnp.where(better[:, None, None], nw_, old)
@@ -179,4 +188,31 @@ def solve(dynamics: Union[DynamicsModel, LinDx], cost: Cost, x0: Array,
     init = (x, u, cost_cur, x, u, cost_cur, jnp.zeros((bsz,), x.dtype))
     (x, u, cost_cur, best_x, best_u, best_cost, slack), _ = jax.lax.scan(
         sqp_iter, init, None, length=cfg.qp_iter)
-    return SL1QPResult(x=best_x, u=best_u, cost=best_cost, slack_l1=slack)
+    best_x, best_u = jax.lax.stop_gradient((best_x, best_u))
+
+    if not differentiable:
+        return SL1QPResult(x=best_x, u=best_u, cost=best_cost, slack_l1=slack)
+
+    # final differentiable elastic QP at the best iterate
+    # (sl1qp_mpc.py:301-331 single_qp outside no_grad)
+    A, B, f = jax.lax.stop_gradient(
+        sqp_mpc._linearize(dynamics, best_x, best_u))
+    w_hat = trajqp.elastic_traj_qp_layer(
+        dcost.C, dcost.c, A, B, f, x0, bounds, cfg.mu, tq_cfg,
+        best_x, best_u)
+    dx = w_hat[..., :nx] - best_x
+    du = w_hat[..., nx:] - best_u
+    cost_best = almerit.compute_cost(
+        dcost_ng, jnp.concatenate([best_x, best_u], axis=-1))
+    x_ls, u_ls, alpha, cost_final = jax.lax.stop_gradient(
+        sqp_mpc.line_search(dynamics, dcost_ng, best_x, best_u,
+                            jax.lax.stop_gradient(dx),
+                            jax.lax.stop_gradient(du),
+                            x0_ng, cost_best, cfg.ls_decay, cfg.max_ls))
+    # straight-through: the VALUE is the line-search-accepted rollout point
+    # (stays on the dynamics manifold, reference sl1qp_mpc single_qp +
+    # line_search), the GRADIENT is the elastic QP's implicit sensitivity
+    w_value = jnp.concatenate([x_ls, u_ls], axis=-1)
+    w_out = w_value + (w_hat - jax.lax.stop_gradient(w_hat))
+    return SL1QPResult(x=w_out[..., :nx], u=w_out[..., nx:],
+                       cost=cost_final, slack_l1=slack)

@@ -335,6 +335,13 @@ class ElasticTrajQPSolution(NamedTuple):
     w_s: Array  # [bsz, T-1, nx] negative-violation slacks
     slack_l1: Array  # [bsz] Σ(v + w) — total constraint relaxation
     resids: Array
+    # final duals/slacks, saved for the elastic layer's implicit backward
+    z_hi: Array
+    z_lo: Array
+    s_hi: Array
+    s_lo: Array
+    zv: Array
+    zw: Array
 
 
 def solve_elastic(C: Array, c: Array, A: Array, B: Array, f: Array,
@@ -473,4 +480,56 @@ def solve_elastic(C: Array, c: Array, A: Array, B: Array, f: Array,
     total = sum(jnp.linalg.norm(r.reshape(bsz, -1), axis=1) for r in rs[:4])
     return ElasticTrajQPSolution(
         x=x, u=u, lam=lam, v=ev, w_s=ew,
-        slack_l1=jnp.sum(ev + ew, axis=(1, 2)), resids=total)
+        slack_l1=jnp.sum(ev + ew, axis=(1, 2)), resids=total,
+        z_hi=z_hi, z_lo=z_lo, s_hi=s_hi, s_lo=s_lo, zv=zv, zw=zw)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable elastic layer — the reference carries gradients through its
+# final elastic QP via QPFunction.backward (qpth/sl1qp_mpc.py:301-331 →
+# qp.py:128-183). Structured equivalent: one extra *elastic* Riccati KKT
+# solve with ∂L/∂w as the stationarity rhs, box duals clamped into D and
+# elastic duals clamped into the dynamics-row relaxation Θ, then the OptNet
+# outer-product gradient assembly for (C, c, x0).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def elastic_traj_qp_layer(C, c, A, B, f, x0, bounds, mu: float,
+                          cfg: TrajQPConfig = TrajQPConfig(),
+                          x_init=None, u_init=None):
+    sol = solve_elastic(C, c, A, B, f, x0, bounds, mu, cfg, x_init, u_init)
+    return jnp.concatenate([sol.x, sol.u], axis=-1)
+
+
+def _el_fwd(C, c, A, B, f, x0, bounds, mu, cfg, x_init=None, u_init=None):
+    sol = solve_elastic(C, c, A, B, f, x0, bounds, mu, cfg, x_init, u_init)
+    return (jnp.concatenate([sol.x, sol.u], axis=-1),
+            (C, A, B, x0, bounds, x_init, u_init, sol))
+
+
+def _el_bwd(mu, cfg, saved, dl_dw):
+    C, A, B, x0, bounds, x_init, u_init, sol = saved
+    bsz, Tm1, nx, nu = B.shape
+    cb = split_cost(C, jnp.zeros_like(dl_dw), nx)
+    clip = lambda a: jnp.clip(a, 1e-8)
+    d = clip(sol.z_hi) / clip(sol.s_hi) + clip(sol.z_lo) / clip(sol.s_lo)
+    Cuu_eff = cb.Cuu + jax.vmap(jax.vmap(jnp.diag))(d)
+    theta = clip(sol.v) / clip(sol.zv) + clip(sol.w_s) / clip(sol.zw)
+    out = riccati.batched_lqr_kkt_solve_elastic(
+        cb.Cxx, cb.Cxu, Cuu_eff, dl_dw[..., :nx], dl_dw[..., nx:],
+        A, B, jnp.zeros((bsz, Tm1, nx), C.dtype),
+        jnp.zeros((bsz, nx), C.dtype), cfg.reg, theta)
+    dw = jnp.concatenate([out.dx, out.du], axis=-1)
+    w = jnp.concatenate([sol.x, sol.u], axis=-1)
+    dC = 0.5 * (jnp.einsum("bti,btj->btij", dw, w, precision=_PREC)
+                + jnp.einsum("bti,btj->btij", w, dw, precision=_PREC))
+    dc = dw
+    dx0 = -out.lam[:, 0]
+    zeros = lambda v: None if v is None else jax.tree.map(jnp.zeros_like, v)
+    return (dC, dc, jnp.zeros_like(A), jnp.zeros_like(B),
+            jnp.zeros((bsz, Tm1, nx), C.dtype), dx0,
+            zeros(bounds), zeros(x_init), zeros(u_init))
+
+
+elastic_traj_qp_layer.defvjp(_el_fwd, _el_bwd)
