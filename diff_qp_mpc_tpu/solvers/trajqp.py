@@ -48,7 +48,9 @@ class TrajQPConfig:
     max_iter: int = 12
     reg: float = 1e-9  # Levenberg damping on Quu in the Riccati pass
     min_slack: float = 1e-8
-    # Riccati kernel: "scan" | "pallas" | "auto" (pallas on TPU)
+    # Riccati kernel: "scan" | "pallas" | "pprefix" | "auto" (pallas on
+    # TPU). "pprefix" is the O(log T)-depth associative-scan Riccati
+    # (ops.riccati_pprefix) — the long-horizon kernel.
     kernel: str = "auto"
 
 
@@ -61,6 +63,14 @@ def riccati_solver(kernel: str = "auto"):
 
         return lambda *a, reg: riccati_pallas.batched_lqr_kkt_solve(
             *a, reg=float(reg))
+    if kernel == "pprefix":
+        from diff_qp_mpc_tpu.ops import riccati_pprefix
+
+        def pprefix_impl(*a, reg):
+            sol = riccati_pprefix.batched_lqr_kkt_solve_pprefix(*a, reg)
+            return sol.dx, sol.du, sol.lam
+
+        return pprefix_impl
 
     def scan_impl(*a, reg):
         sol = riccati.batched_lqr_kkt_solve(*a, reg)
