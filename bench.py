@@ -111,6 +111,33 @@ def measure_ours():
     best.setdefault("path", "scan+pallas_kkt")
     best["scan_path_solves_per_s"] = round(sps, 1)
 
+    # ---- throughput at MATCHED ACCURACY (converged budget al_iter=8 —
+    # the budget at which the control-seq error below is measured), so the
+    # headline unconverged-budget number is reported alongside an
+    # accuracy-matched operating point (VERDICT r1 weak #2) ----
+    runc = lambda: fused_al_solve(
+        model, Cdf, cf, x0f, jnp.array([-3.0], jnp.float32),
+        jnp.array([3.0], jnp.float32), x_init, u_init,
+        al_iter=8, n_newton=4, n_ls=20, rho_max=1e6, reg=1e-6)
+    wc, *_, resc = runc()
+    wc.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(N_REP):
+        wc, *_, resc = runc()
+    wc.block_until_ready()
+    perc = (time.perf_counter() - t0) / N_REP
+    best["solves_per_s_at_converged_budget"] = round(bszf / perc, 1)
+    best["dyn_res_at_converged_budget"] = float(jnp.mean(resc))
+
+    # ---- analytic FLOP count → speed-of-light fraction ----
+    from benchmarks.flops import fused_al_flops, V5E_VPU_F32_PEAK
+
+    fl = fused_al_flops(T=T, nx=nx, nu=nu, al_iter=2, n_newton=4, n_ls=20)
+    achieved = best["solves_per_s"] * fl
+    best["kernel_flops_per_solve"] = fl
+    best["kernel_achieved_gflops"] = round(achieved / 1e9, 1)
+    best["kernel_sol_frac_vpu"] = round(achieved / V5E_VPU_F32_PEAK, 4)
+
     # accuracy comparison at a converged budget (al_iter=8): at the raw
     # reference budget neither solver is converged and path differences
     # dominate; at convergence both reach the same local optima for the
@@ -209,6 +236,7 @@ def main():
             cache = json.load(f)
         ref_sps = cache["ref_solves_per_s"]
         u_ref = np.asarray(cache["u_ref"])
+        baseline_source = "cached"
     else:
         try:
             ref, u_ref = measure_reference()
@@ -216,11 +244,13 @@ def main():
             with open(CACHE, "w") as f:
                 json.dump({"ref_solves_per_s": ref_sps,
                            "u_ref": u_ref.tolist()}, f)
+            baseline_source = "measured"
         except Exception as e:  # reference repo/toolchain unavailable
             print(f"# baseline measurement failed ({e!r}); using the "
                   "idle-machine measurement from 2026-08-17", file=sys.stderr)
             ref_sps = 2680.7
             u_ref = None
+            baseline_source = "fallback"
 
     if u_ref is not None:
         b = u_ours.shape[0]
@@ -241,6 +271,14 @@ def main():
         "scan_path_solves_per_s": ours.get("scan_path_solves_per_s", 0),
         "platform": ours["platform"],
         "mean_dyn_res": round(ours.get("dyn_res", 0.0), 6),
+        "baseline_source": baseline_source,
+        "solves_per_s_at_converged_budget":
+            ours.get("solves_per_s_at_converged_budget", 0),
+        "dyn_res_at_converged_budget":
+            round(ours.get("dyn_res_at_converged_budget", -1.0), 6),
+        "kernel_flops_per_solve": ours.get("kernel_flops_per_solve", 0),
+        "kernel_achieved_gflops": ours.get("kernel_achieved_gflops", 0),
+        "kernel_sol_frac_vpu": ours.get("kernel_sol_frac_vpu", 0),
     }))
 
 

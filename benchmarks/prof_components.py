@@ -109,6 +109,56 @@ def main(argv=None):
     lin = jax.jit(lambda p: jnp.einsum("bij,bj->bi", Qm, p))
     results["dense_matmul_ms"] = 1e3 * time_fn(lin, pv, n_rep=args.n_rep)
 
+    # 7. parallel-prefix vs sequential Riccati at long horizons
+    from diff_qp_mpc_tpu.ops import riccati, riccati_pprefix
+
+    for Tlong in (64, 256, 1024):
+        bszl = max(1, min(bsz, 32768 // Tlong))
+        kl = jax.random.split(key, 3)
+        Cxx = jnp.broadcast_to(jnp.diag(jnp.array([10.0, 0.1], dt)),
+                               (bszl, Tlong, nx, nx))
+        Cxu = jnp.zeros((bszl, Tlong, nx, nu), dt)
+        Cuu = jnp.broadcast_to(0.01 * jnp.eye(nu, dtype=dt),
+                               (bszl, Tlong, nu, nu))
+        gxl = 0.1 * jax.random.normal(kl[0], (bszl, Tlong, nx), dt)
+        gul = 0.1 * jax.random.normal(kl[1], (bszl, Tlong, nu), dt)
+        Al = jnp.broadcast_to(jnp.array([[1.0, 0.05], [0.0, 1.0]], dt),
+                              (bszl, Tlong - 1, nx, nx))
+        Bl = jnp.broadcast_to(jnp.array([[0.0], [0.05]], dt),
+                              (bszl, Tlong - 1, nx, nu))
+        rl = jnp.zeros((bszl, Tlong - 1, nx), dt)
+        dx0l = 0.1 * jax.random.normal(kl[2], (bszl, nx), dt)
+        argsl = (Cxx, Cxu, Cuu, gxl, gul, Al, Bl, rl, dx0l)
+        seq = jax.jit(lambda *a: riccati.batched_lqr_kkt_solve(*a, 1e-7).du)
+        par = jax.jit(lambda *a: riccati_pprefix
+                      .batched_lqr_kkt_solve_pprefix(*a, 1e-7).du)
+        results[f"riccati_seq_T{Tlong}_ms"] = 1e3 * time_fn(
+            seq, *argsl, n_rep=5)
+        results[f"riccati_pprefix_T{Tlong}_ms"] = 1e3 * time_fn(
+            par, *argsl, n_rep=5)
+        results[f"riccati_T{Tlong}_bsz"] = bszl
+
+    # 8. speed-of-light fractions from analytic FLOP counts
+    from benchmarks.flops import (V5E_MXU_F32_PEAK, V5E_VPU_F32_PEAK,
+                                  btsolve_flops, fused_al_flops,
+                                  riccati_flops)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    peak = V5E_MXU_F32_PEAK
+    sol = {}
+    bt_fl = bsz * btsolve_flops(T, n)
+    sol["btsolve_gflops"] = round(bt_fl / (results["btsolve_ms"] / 1e3) / 1e9, 2)
+    sol["btsolve_sol_frac_mxu_f32"] = round(
+        bt_fl / (results["btsolve_ms"] / 1e3) / peak, 5)
+    ric_fl = results.get("riccati_T64_bsz", 0) * riccati_flops(64, nx, nu)
+    if "riccati_seq_T64_ms" in results:
+        sol["riccati_seq_T64_gflops"] = round(
+            ric_fl / (results["riccati_seq_T64_ms"] / 1e3) / 1e9, 2)
+    fl = fused_al_flops(T=T, nx=nx, nu=nu, al_iter=2, n_newton=4, n_ls=20)
+    sol["fused_al_flops_per_solve"] = fl
+    sol["vpu_peak_used"] = V5E_VPU_F32_PEAK if on_tpu else None
+    results["kernel_sol"] = sol
+
     results["bsz"] = bsz
     results["platform"] = jax.devices()[0].platform
     print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)

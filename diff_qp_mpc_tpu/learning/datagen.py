@@ -27,17 +27,50 @@ from diff_qp_mpc_tpu.solvers import sqp_mpc
 from diff_qp_mpc_tpu.solvers.sqp_mpc import SQPConfig
 
 
+# Per-env expert planner settings (the role of the reference's hand-tuned
+# per-robot expert configs: datagen.py:24-56 PendulumExpert, datagen_cp1.py
+# :30-45 CartpoleExpert goal_weights [1,10,1,1] / ctrl_penalty 1e-4 / T=100).
+# Weights are in THIS repo's state conventions (cartpole upright θ = π).
+EXPERT_PLANNER = {
+    "Cartpole1l-v0": dict(T=100, Q=(1.0, 10.0, 1.0, 1.0), R=(1e-4,),
+                          qp_iter=10),
+    "Cartpole1l-v0-stabilize": dict(T=60, Q=(1.0, 10.0, 1.0, 1.0), R=(1e-4,),
+                                    qp_iter=10),
+    "Cartpole2l-v0": dict(T=120, Q=(1.0, 10.0, 10.0, 1.0, 1.0, 1.0),
+                          R=(1e-4,), qp_iter=12),
+    "Cartpole2l-v0-stabilize": dict(T=60, Q=(1.0, 10.0, 10.0, 1.0, 1.0, 1.0),
+                                    R=(1e-4,), qp_iter=10),
+    "Pendulum-v0": dict(T=40, Q=(10.0, 1.0), R=(1e-3,), qp_iter=10),
+    "Pendulum-v0-stabilize": dict(T=20, Q=(10.0, 1.0), R=(1e-3,), qp_iter=5),
+    "RexQuadrotor-v0": dict(T=20, Q=(10.0,) * 3 + (1.0,) * 9, R=(0.1,) * 4,
+                            qp_iter=5),
+}
+
+
 def mpc_expert_rollouts(env, num_traj: int, T: int = 30, max_steps: int = 200,
-                        seed: int = 0, qp_iter: int = 5):
+                        seed: int = 0, qp_iter: int = 5,
+                        success_filter: bool = False):
     """Batched receding-horizon SQP-MPC expert (the role of
     datagen.py:24-143 PendulumExpert/get_*_expert_traj_mpc, using the
-    shooting solver for long-horizon robustness)."""
+    shooting solver for long-horizon robustness).
+
+    Per-env planner settings come from EXPERT_PLANNER when available
+    (overriding T/qp_iter and the env LQR weights). With
+    ``success_filter``, 2× the requested batch is rolled out and only
+    trajectories whose final state passes env._success are kept (topped up
+    with the closest failures if needed) — local SQP swing-up does not
+    succeed from every initial state, which is exactly why the reference's
+    committed cartpole swing-up data comes from an RL policy while its MPC
+    cartpole dataset is stabilize-only."""
     model = env.model
     nx, nu = env.nx, env.nu
-    bsz = num_traj
+    planner = EXPERT_PLANNER.get(env.spec_id, {})
+    T = planner.get("T", T)
+    qp_iter = planner.get("qp_iter", qp_iter)
+    bsz = 2 * num_traj if success_filter else num_traj
     n = nx + nu
-    Q = jnp.asarray(env.Qlqr, jnp.float64)
-    R = jnp.asarray(env.Rlqr, jnp.float64)
+    Q = jnp.asarray(planner.get("Q", env.Qlqr), jnp.float64)
+    R = jnp.asarray(planner.get("R", env.Rlqr), jnp.float64)
     Cd = jnp.broadcast_to(jnp.concatenate([Q, R]), (bsz, T, n))
     goal = getattr(env, "goal", jnp.zeros((nx,)))
     xu_goal = jnp.concatenate([jnp.asarray(goal, jnp.float64), jnp.zeros((nu,))])
@@ -74,7 +107,7 @@ def mpc_expert_rollouts(env, num_traj: int, T: int = 30, max_steps: int = 200,
             break
 
     # split batch into per-trajectory (state, action) lists, truncated at done
-    trajs = []
+    trajs, succ = [], []
     steps = len(xs)
     for b in range(bsz):
         end = steps
@@ -83,6 +116,14 @@ def mpc_expert_rollouts(env, num_traj: int, T: int = 30, max_steps: int = 200,
                 end = t + 1
                 break
         trajs.append([(xs[t][b], us[t][b]) for t in range(end)])
+        succ.append(bool(env._success(jnp.asarray(xs[end - 1][b]))))
+    if success_filter:
+        good = [t for t, s in zip(trajs, succ) if s]
+        print(f"success filter: {len(good)}/{bsz} trajectories reached goal")
+        if len(good) < num_traj:
+            rest = [t for t, s in zip(trajs, succ) if not s]
+            good = good + rest[: num_traj - len(good)]
+        return good[:num_traj]
     return trajs
 
 
@@ -99,10 +140,13 @@ def main(argv=None):
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--stabilization", action="store_true")
     p.add_argument("--expert", type=str, default="mpc",
-                   choices=["mpc", "ppo"],
-                   help="mpc: receding-horizon SQP expert; ppo: train a PPO"
-                        " expert first (learning.rl), then roll it out")
+                   choices=["mpc", "ppo", "sac"],
+                   help="mpc: receding-horizon SQP expert; ppo/sac: train an"
+                        " RL expert first (learning.rl), then roll it out")
     p.add_argument("--ppo_iters", type=int, default=500)
+    p.add_argument("--sac_iters", type=int, default=40000)
+    p.add_argument("--success_filter", action="store_true",
+                   help="roll 2x the batch and keep goal-reaching trajs")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -117,9 +161,19 @@ def main(argv=None):
         params, net = train_ppo(env, iters=args.ppo_iters, seed=args.seed)
         trajs = ppo_expert_rollouts(env, params, net, args.num_traj,
                                     args.max_steps, args.seed)
+    elif args.expert == "sac":
+        from diff_qp_mpc_tpu.learning.rl import (SACConfig,
+                                                 sac_expert_rollouts,
+                                                 train_sac)
+
+        _, act = train_sac(env, SACConfig(), iters=args.sac_iters,
+                           seed=args.seed)
+        trajs = sac_expert_rollouts(env, act, args.num_traj,
+                                    args.max_steps, args.seed)
     else:
         trajs = mpc_expert_rollouts(env, args.num_traj, args.T,
-                                    args.max_steps, args.seed, args.qp_iter)
+                                    args.max_steps, args.seed, args.qp_iter,
+                                    success_filter=args.success_filter)
     out = args.out or os.path.join(
         "data", f"expert_traj_{args.expert}-{env.spec_id}_new.pkl")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
