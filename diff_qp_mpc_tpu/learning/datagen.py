@@ -150,6 +150,10 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu":
+            # expert solves run in f64 on CPU (reference experts are f64,
+            # datagen_cp1.py:46-63); TPU datagen runs f32 by design
+            jax.config.update("jax_enable_x64", True)
 
     kwargs = {}
     if args.stabilization:

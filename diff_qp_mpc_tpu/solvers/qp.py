@@ -45,6 +45,13 @@ class QPConfig:
     kkt_reg: float = 1e-7  # Ktilde regularization (batch_LU.py:42 KKTeps)
     refine_steps: int = 1
     eps: float = 1e-12  # kept for API parity; exit is via best-iterate
+    # "dense": full-KKT LU per iteration (batch_LU.py); "prefactor": Q
+    # pre-factored once + per-iteration Schur-complement Cholesky over the
+    # constraint rows — the reference's pre_factor_kkt/factor_kkt scheme
+    # (batch.py:377-469) in SPD form. O((nineq+neq)³/3) per iteration vs
+    # O((nz+2·nineq+neq)³·2/3); the win at OptNet sizes (nz=nineq=100) is
+    # measured in benchmarks/prof_qp_sizes.py.
+    solver: str = "dense"
 
 
 class QPSolution(NamedTuple):
@@ -109,6 +116,45 @@ def _kkt_solve(K, K_tilde, rx, rs, rz, ry, refine_steps: int):
     return dx, ds, dz, dy
 
 
+def _make_schur_solver(Q, G, A, reg: float):
+    """Pre-factored KKT solver (the reference pre_factor_kkt scheme,
+    batch.py:377-428, SPD form): factor Q once, precompute
+    R = [G; A] Q⁻¹ [G; A]ᵀ; each iteration only Cholesky-factors the m×m
+    Schur system M = R + blkdiag(diag(s/z), 0).
+
+    Returns solve(rx, rs, rz, ry, z, s) -> (dx, ds, dz, dy) solving the
+    same system as _kkt_solve (K l = −r)."""
+    bsz, nineq, nz = G.shape
+    neq = A.shape[1]
+    dt = Q.dtype
+    m = nineq + neq
+    eye_z = jnp.eye(nz, dtype=dt)
+    chol = jax.vmap(lambda M_: jax.scipy.linalg.cholesky(M_, lower=True))
+    csolve = jax.vmap(lambda L, b_: jax.scipy.linalg.cho_solve((L, True), b_))
+    Lq = chol(Q + reg * eye_z)
+    Mrows = jnp.concatenate([G, A], axis=1)  # [bsz, m, nz]
+    QiMT = csolve(Lq, jnp.swapaxes(Mrows, -1, -2))  # [bsz, nz, m]
+    R = jnp.matmul(Mrows, QiMT, precision=_PREC)  # [bsz, m, m]
+    R = 0.5 * (R + jnp.swapaxes(R, -1, -2))
+    eye_m = jnp.eye(m, dtype=dt)
+
+    def solve(rx, rs, rz, ry, z, s):
+        Qirx = csolve(Lq, rx[..., None])[..., 0]
+        rhs_G = rz - rs / z - _bmv(G, Qirx)
+        rhs_A = ry - _bmv(A, Qirx) if neq > 0 else ry
+        rhs = jnp.concatenate([rhs_G, rhs_A], axis=1)
+        d = jnp.concatenate([s / z, jnp.zeros((bsz, neq), dt)], axis=1)
+        M = R + jax.vmap(jnp.diag)(d) + reg * eye_m
+        Lm = chol(M)
+        sol = csolve(Lm, rhs[..., None])[..., 0]
+        dz, dy = sol[:, :nineq], sol[:, nineq:]
+        dx = -(Qirx + _bmv(QiMT, sol))
+        ds = -rz - _bmv(G, dx)
+        return dx, ds, dz, dy
+
+    return solve
+
+
 def _get_step(v: Array, dv: Array) -> Array:
     """Largest α ≤ 1 keeping v + α·dv ≥ 0 (per batch).
     (Standard fraction-to-boundary; replaces batch_LU.py:204-210.)"""
@@ -134,11 +180,18 @@ def qp_solve(Q: Array, p: Array, G: Array, h: Array, A: Array, b: Array,
     GT = jnp.swapaxes(G, -1, -2)
     AT = jnp.swapaxes(A, -1, -2)
 
+    use_schur = cfg.solver == "prefactor"
+    schur = _make_schur_solver(Q, G, A, cfg.kkt_reg) if use_schur else None
+
     # --- initialization: solve with S = Z = I, then shift into the cone ---
     ones = jnp.ones((bsz, nineq), dt)
-    K, K_tilde = _build_kkt(Q, G, A, ones, ones, cfg.kkt_reg)
-    x, s, z, y = _kkt_solve(K, K_tilde, p, jnp.zeros((bsz, nineq), dt),
-                            -h, -b, cfg.refine_steps)
+    if use_schur:
+        x, s, z, y = schur(p, jnp.zeros((bsz, nineq), dt), -h, -b,
+                           ones, ones)
+    else:
+        K, K_tilde = _build_kkt(Q, G, A, ones, ones, cfg.kkt_reg)
+        x, s, z, y = _kkt_solve(K, K_tilde, p, jnp.zeros((bsz, nineq), dt),
+                                -h, -b, cfg.refine_steps)
     s_min = jnp.min(s, axis=1, keepdims=True)
     s = jnp.where(s_min < 0, s - s_min + 1.0, s)
     z_min = jnp.min(z, axis=1, keepdims=True)
@@ -171,17 +224,23 @@ def qp_solve(Q: Array, p: Array, G: Array, h: Array, A: Array, b: Array,
         best = (jnp.minimum(resids, b_res), sel(x, b_x), sel(s, b_s),
                 sel(z, b_z), sel(y, b_y))
 
-        K, K_tilde = _build_kkt(Q, G, A, z, s, cfg.kkt_reg)
-        lu, piv = jax.scipy.linalg.lu_factor(K_tilde)
+        if use_schur:
+            def solve(rx, rs, rz, ry, z=z, s=s):
+                return schur(rx, rs, rz, ry, z, s)
+        else:
+            K, K_tilde = _build_kkt(Q, G, A, z, s, cfg.kkt_reg)
+            lu, piv = jax.scipy.linalg.lu_factor(K_tilde)
 
-        def solve(rx, rs, rz, ry):
-            r = -jnp.concatenate([rx, rs, rz, ry], axis=1)
-            l = jax.scipy.linalg.lu_solve((lu, piv), r[..., None])[..., 0]
-            for _ in range(cfg.refine_steps):
-                res = r - _bmv(K, l)
-                l = l + jax.scipy.linalg.lu_solve((lu, piv), res[..., None])[..., 0]
-            return (l[:, :nz], l[:, nz:nz + nineq],
-                    l[:, nz + nineq:nz + 2 * nineq], l[:, nz + 2 * nineq:])
+            def solve(rx, rs, rz, ry):
+                r = -jnp.concatenate([rx, rs, rz, ry], axis=1)
+                l = jax.scipy.linalg.lu_solve((lu, piv), r[..., None])[..., 0]
+                for _ in range(cfg.refine_steps):
+                    res = r - _bmv(K, l)
+                    l = l + jax.scipy.linalg.lu_solve(
+                        (lu, piv), res[..., None])[..., 0]
+                return (l[:, :nz], l[:, nz:nz + nineq],
+                        l[:, nz + nineq:nz + 2 * nineq],
+                        l[:, nz + 2 * nineq:])
 
         # affine (predictor) direction
         dx_a, ds_a, dz_a, dy_a = solve(rx, rs, rz, ry)
