@@ -48,6 +48,7 @@ def evaluate_policy(env, policy, params, episodes: int = 64,
     total_reward = np.zeros(episodes)
     done_at = np.full(episodes, max_steps, np.int32)
     ever_done = np.zeros(episodes, bool)
+    ever_success = np.zeros(episodes, bool)
     for t in range(max_steps):
         key, k_noise = jax.random.split(key)
         obs = noise_mod.corrupt_observation(
@@ -57,15 +58,19 @@ def evaluate_policy(env, policy, params, episodes: int = 64,
         state, reward, done = env.step(state, u)
         r = np.asarray(reward)
         d = np.asarray(done)
+        # success = the env's success-streak termination, NOT the step
+        # limit (done alone conflates the two)
+        succ = np.asarray(state.num_successes >= env.success_streak)
         total_reward += r * (~ever_done)
         newly = d & ~ever_done
         done_at[newly] = t + 1
+        ever_success |= (succ & ~ever_done)
         ever_done |= d
         if ever_done.all():
             break
 
     return {
-        "success_rate": float(ever_done.mean()),
+        "success_rate": float(ever_success.mean()),
         "mean_reward": float(total_reward.mean()),
         "mean_episode_len": float(done_at.mean()),
         "episodes": episodes,
@@ -74,14 +79,15 @@ def evaluate_policy(env, policy, params, episodes: int = 64,
 
 
 def main(argv=None):
-    base = build_parser()
-    base.add_argument("--ckpt", type=str, required=True)
+    base = build_parser()  # includes --ckpt (shared with train's resume)
     base.add_argument("--episodes", type=int, default=64)
     base.add_argument("--max_steps", type=int, default=200)
     base.add_argument("--noise_type", type=int, default=0)
     base.add_argument("--noise_std", type=float, default=0.0)
     base.add_argument("--noise_mean", type=float, default=0.0)
     args = base.parse_args(argv)
+    if args.ckpt is None:
+        base.error("--ckpt is required for evaluation")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
