@@ -17,6 +17,13 @@ import argparse
 import os
 
 import jax
+
+# expert-planner programs are large (SQP scan × IPM scan × Riccati scan);
+# persist their compilations — the axon remote-compile tunnel is minutes
+# per program
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.getcwd(), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,8 +39,8 @@ from diff_qp_mpc_tpu.solvers.sqp_mpc import SQPConfig
 # :30-45 CartpoleExpert goal_weights [1,10,1,1] / ctrl_penalty 1e-4 / T=100).
 # Weights are in THIS repo's state conventions (cartpole upright θ = π).
 EXPERT_PLANNER = {
-    "Cartpole1l-v0": dict(T=100, Q=(1.0, 10.0, 1.0, 1.0), R=(1e-4,),
-                          qp_iter=10),
+    "Cartpole1l-v0": dict(T=80, Q=(1.0, 10.0, 1.0, 1.0), R=(1e-4,),
+                          qp_iter=6, max_ls=5),
     "Cartpole1l-v0-stabilize": dict(T=60, Q=(1.0, 10.0, 1.0, 1.0), R=(1e-4,),
                                     qp_iter=10),
     "Cartpole2l-v0": dict(T=120, Q=(1.0, 10.0, 10.0, 1.0, 1.0, 1.0),
@@ -79,7 +86,7 @@ def mpc_expert_rollouts(env, num_traj: int, T: int = 30, max_steps: int = 200,
         u_lo=jnp.asarray(env.action_space.low, jnp.float64),
         u_hi=jnp.asarray(env.action_space.high, jnp.float64),
     )
-    cfg = SQPConfig(qp_iter=qp_iter)
+    cfg = SQPConfig(qp_iter=qp_iter, max_ls=planner.get("max_ls", 10))
 
     @jax.jit
     def plan(x0, u_ws):

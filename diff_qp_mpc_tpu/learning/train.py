@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--T", type=int, default=5)
     p.add_argument("--hdim", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clip (0 = off, the reference"
+                        " default; DEQ-MPC losses spike when the tracking"
+                        " solve hits hard activations — clipping stabilizes"
+                        " long runs)")
     p.add_argument("--iters", type=int, default=20000)
     p.add_argument("--solver_type", type=str, default="al")
     p.add_argument("--qp_solve", action="store_true")
@@ -185,7 +190,11 @@ def main(argv=None):
                              qp_solve=False)
     else:
         params = policy.init(key, jnp.asarray(init_batch["state"][:, 0]))
-    optimizer = optax.adam(args.lr)
+    if args.grad_clip > 0:
+        optimizer = optax.chain(optax.clip_by_global_norm(args.grad_clip),
+                                optax.adam(args.lr))
+    else:
+        optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
     if args.load:
         from diff_qp_mpc_tpu.utils.checkpoint import load_checkpoint

@@ -231,3 +231,10 @@ class SlewAugmented(DynamicsModel):
 def angle_normalize(x: Array) -> Array:
     """Wrap to (-π, π] (reference: deqmpc/envs.py:56-57)."""
     return ((x + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+
+
+def angle_normalize_2pi(x: Array) -> Array:
+    """Wrap to [0, 2π) (reference: envs_v1.py angle_normalize_2pi, used by
+    the cartpole state_clip — with upright at π this keeps the goal in the
+    middle of the wrapped range)."""
+    return x % (2 * jnp.pi)

@@ -62,6 +62,13 @@ class Cartpole1L(DynamicsModel):
     def action_clip(self, u: Array) -> Array:
         return jnp.clip(u, -self.max_force, self.max_force)
 
+    def state_clip(self, x: Array) -> Array:
+        """Wrap the pole angle to [0, 2π) (reference envs_v1.py:91-93
+        state_clip via angle_normalize_2pi)."""
+        from diff_qp_mpc_tpu.models.base import angle_normalize_2pi
+
+        return x.at[..., 1].set(angle_normalize_2pi(x[..., 1]))
+
     def __hash__(self):
         return hash((type(self), self.dt, self.M, self.m, self.l, self.g))
 
@@ -118,6 +125,12 @@ class Cartpole2L(DynamicsModel):
 
     def action_clip(self, u: Array) -> Array:
         return jnp.clip(u, -self.max_force, self.max_force)
+
+    def state_clip(self, x: Array) -> Array:
+        """Wrap both pole angles to [0, 2π) (reference envs_v1.py:319-321)."""
+        from diff_qp_mpc_tpu.models.base import angle_normalize_2pi
+
+        return x.at[..., 1:3].set(angle_normalize_2pi(x[..., 1:3]))
 
     def __hash__(self):
         return hash((type(self), self.dt, self.M, self.m1, self.m2,
