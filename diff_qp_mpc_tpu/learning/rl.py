@@ -303,6 +303,8 @@ class SACConfig:
     auto_alpha: bool = True        # automatic entropy-temperature tuning
     init_alpha: float = 0.2
     normalize_obs: bool = False    # CGAC-style running mean/std (ppo_train.py:59-131)
+    reward_scale: float = 1.0      # buffer-side reward scaling; divergence
+    # penalties of the cartpole-class envs put Q targets at O(1e4) without it
     block: int = 100               # iterations fused into one jitted scan
 
 
@@ -453,7 +455,7 @@ def make_sac(env, cfg: SACConfig):
         # terminals — bootstrap through them (mask=1), as is standard for
         # gym Pendulum-style SAC
         mask = jnp.ones_like(reward)
-        st = buffer_insert(st, obs, u, reward, nxt, mask)
+        st = buffer_insert(st, obs, u, cfg.reward_scale * reward, nxt, mask)
         st = update_obs_stats(st, obs)
         env2 = env.reset_where(k_reset, env2, done)
         return st._replace(env_state=env2), reward.mean()
@@ -602,13 +604,15 @@ def main(argv=None):
     p.add_argument("--num_traj", type=int, default=100)
     p.add_argument("--normalize_obs", action="store_true",
                    help="CGAC-style running mean/std obs normalization")
+    p.add_argument("--reward_scale", type=float, default=1.0)
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
     env = make_env(args.env)
     if args.algo == "sac":
-        cfg = SACConfig(normalize_obs=args.normalize_obs)
+        cfg = SACConfig(normalize_obs=args.normalize_obs,
+                        reward_scale=args.reward_scale)
         _, act_fn = train_sac(env, cfg, iters=args.iters, seed=args.seed)
         if args.save_data:
             from diff_qp_mpc_tpu.learning.data import save_expert_pickle

@@ -207,9 +207,12 @@ def main(argv=None):
     step = make_train_step(policy, optimizer, args)
 
     losses, losses_end, dyn_resids, times = [], [], [], []
+    float_dt = jnp.float64 if args.x64 else jnp.float32
     for i in range(args.iters):
         batch = data_mod.sample_window_batch(dataset, args.bsz, args.T, rng)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch = {k: jnp.asarray(v).astype(float_dt)
+                 if np.issubdtype(np.asarray(v).dtype, np.floating)
+                 else jnp.asarray(v) for k, v in batch.items()}
         key, sub = jax.random.split(key)
         qp_solve = args.qp_solve and not (args.pretrain and i < args.pretrain_iters)
         t0 = time.time()
