@@ -118,6 +118,13 @@ class _CartpoleEnvBase(Env):
         cart = jnp.abs(x[..., 0])
         return -(self._delta_upright(x) + cart + (cart > 10) * 80.0)
 
+    def _diverged(self, x):
+        # cart runaway / velocity blow-up is unrecoverable within the force
+        # budget; cutting these keeps RL replay distributions sane
+        nq = self.nq
+        return (super()._diverged(x) | (jnp.abs(x[..., 0]) > 15.0)
+                | (jnp.abs(x[..., nq:]) > 40.0).any(axis=-1))
+
 
 class Cartpole1LEnv(_CartpoleEnvBase):
     def __init__(self, stabilization: bool = False, dt: float = 0.05):

@@ -96,6 +96,12 @@ class Env:
     def _reward(self, x: Array, u: Array) -> Array:  # [bsz]
         raise NotImplementedError
 
+    def _diverged(self, x: Array) -> Array:  # [bsz] bool
+        """Episodes to cut short as unrecoverable (the reference's
+        nan/divergence auto-reset during collection,
+        rex_quadrotor.py:195-220). Default: nonfinite states only."""
+        return ~jnp.isfinite(x).all(axis=-1)
+
     # --- API ---
     def reset(self, key: Array, bsz: int) -> EnvState:
         return EnvState.make(self._sample_init(key, bsz))
@@ -111,7 +117,8 @@ class Env:
         succ = self._success(x)
         num_successes = jnp.where(succ, state.num_successes + 1, 0)
         steps = state.steps + 1
-        done = (num_successes >= self.success_streak) | (steps >= self.max_steps)
+        done = ((num_successes >= self.success_streak)
+                | (steps >= self.max_steps) | self._diverged(x))
         reward = self._reward(x, u)
         return EnvState(x=x, num_successes=num_successes, steps=steps), reward, done
 
