@@ -30,6 +30,11 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    import os
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.getcwd(), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     import diff_qp_mpc_tpu as dq
     from diff_qp_mpc_tpu.core.types import Lambdas
