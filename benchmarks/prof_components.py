@@ -134,13 +134,28 @@ def main(argv=None):
         rl = jnp.zeros((bszl, Tlong - 1, nx), dt)
         dx0l = 0.1 * jax.random.normal(kl[2], (bszl, nx), dt)
         argsl = (Cxx, Cxu, Cuu, gxl, gul, Al, Bl, rl, dx0l)
-        seq = jax.jit(lambda *a: riccati.batched_lqr_kkt_solve(*a, 1e-7).du)
-        par = jax.jit(lambda *a: riccati_pprefix
-                      .batched_lqr_kkt_solve_pprefix(*a, 1e-7).du)
+        # chain REPS solves inside ONE jitted program so per-solve time is
+        # not swamped by dispatch latency (the axon relay costs ~60 ms per
+        # call — single-call timings only measure the wire)
+        REPS = 20
+
+        def chained(solver):
+            def run(Cxx, Cxu, Cuu, gx, gu, A, B, r, dx0):
+                def body(g, _):
+                    du = solver(Cxx, Cxu, Cuu, g, gu, A, B, r, dx0, 1e-7).du
+                    return g + 1e-20 * du.sum() * jnp.ones_like(g), None
+
+                g, _ = jax.lax.scan(body, gx, None, length=REPS)
+                return g
+
+            return jax.jit(run)
+
+        seq = chained(riccati.batched_lqr_kkt_solve)
+        par = chained(riccati_pprefix.batched_lqr_kkt_solve_pprefix)
         results[f"riccati_seq_T{Tlong}_ms"] = 1e3 * time_fn(
-            seq, *argsl, n_rep=5)
+            seq, *argsl, n_rep=3) / REPS
         results[f"riccati_pprefix_T{Tlong}_ms"] = 1e3 * time_fn(
-            par, *argsl, n_rep=5)
+            par, *argsl, n_rep=3) / REPS
         results[f"riccati_T{Tlong}_bsz"] = bszl
 
     # 8. speed-of-light fractions from analytic FLOP counts
