@@ -90,6 +90,8 @@ def main(argv=None):
         base.error("--ckpt is required for evaluation")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
 
     env = make_env(args.env)
     policy = make_policy(args, env)
