@@ -100,6 +100,25 @@ def save_gif(frames_x, render_fn, out_path, fps=20):
     plt.close(fig)
 
 
+def rollout_policy(env, policy, params, steps=100, bsz=1, seed=0):
+    """Closed-loop rollout of a trained DEQ-MPC policy (the reference's
+    visualize_*_new.py flow: load ckpt, act with the first planned
+    action)."""
+    state = env.reset(jax.random.PRNGKey(seed), bsz)
+
+    @jax.jit
+    def act(params, obs):
+        iterates, _ = policy.apply(params, obs, qp_solve=True)
+        return iterates[-1].actions[:, 0]
+
+    xs = [np.asarray(state.x)]
+    for _ in range(steps):
+        u = act(params, state.x)
+        state, _, _ = env.step(state, u)
+        xs.append(np.asarray(state.x))
+    return np.stack(xs)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--env", type=str, default="pendulum")
@@ -107,6 +126,12 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="rollout.gif")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="trained DEQ-MPC checkpoint: roll out the policy "
+                        "instead of the raw MPC")
+    p.add_argument("--T", type=int, default=5)
+    p.add_argument("--deq_iter", type=int, default=6)
+    p.add_argument("--hdim", type=int, default=128)
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -114,7 +139,25 @@ def main(argv=None):
     from diff_qp_mpc_tpu.envs import make_env
 
     env = make_env(args.env)
-    xs = rollout_mpc(env, steps=args.steps, seed=args.seed)
+    if args.ckpt:
+        import types
+
+        from diff_qp_mpc_tpu.learning.train import make_policy
+        from diff_qp_mpc_tpu.utils.checkpoint import load_checkpoint
+
+        targs = types.SimpleNamespace(
+            T=args.T, deq=True, deq_iter=args.deq_iter, hdim=args.hdim,
+            qp_iter=2, deq_out_type=2, layer_type="mlp", solver_type="al",
+            fused=False, policy_out_type=2)
+        policy = make_policy(targs, env)
+        template = policy.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, env.nx), jnp.float32),
+                               qp_solve=False)
+        params = load_checkpoint(args.ckpt, {"params": template})["params"]
+        xs = rollout_policy(env, policy, params, steps=args.steps,
+                            seed=args.seed)
+    else:
+        xs = rollout_mpc(env, steps=args.steps, seed=args.seed)
     if args.env == "pendulum":
         render = render_pendulum_frame
     elif args.env.startswith("cartpole"):
