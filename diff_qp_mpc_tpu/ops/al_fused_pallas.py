@@ -36,7 +36,7 @@ from diff_qp_mpc_tpu.ops.btsolve_pallas import (
     LANE,
     SUB,
     TILE,
-    tile_bt_factor_solve,
+    tile_bt_factor_solve_fn,
 )
 
 Array = jnp.ndarray
@@ -162,48 +162,54 @@ def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
                 grad[t][nx + i] = grad[t][nx + i] \
                     + lam_h_l[t][i] + rho * ch - lam_l_l[t][i] - rho * cl
 
-        # ---- GN Hessian blocks ----
-        D = [[[zero for _ in range(n)] for _ in range(n)] for _ in range(T)]
-        for t in range(T):
+        # ---- GN Hessian blocks, built LAZILY inside the factor sweep so
+        # each (n×n)-tile block dies right after it folds into the
+        # Cholesky (peak-VMEM fix for large-n models; see
+        # btsolve_pallas.tile_bt_factor_solve_fn) ----
+        def D_fn(t):
+            Dt = [[zero for _ in range(n)] for _ in range(n)]
             for i in range(n):
-                D[t][i][i] = Cd[t][i]
+                Dt[i][i] = Cd[t][i]
             for i in range(nx):
-                D[t][i][i] = D[t][i][i] + rho
+                Dt[i][i] = Dt[i][i] + rho
             for i in range(nu):
-                D[t][nx + i][nx + i] = D[t][nx + i][nx + i] \
+                Dt[nx + i][nx + i] = Dt[nx + i][nx + i] \
                     + rho * (m_hi[t][i] + m_lo[t][i])
-        for t in range(T - 1):
-            for i in range(n):
-                for j in range(i + 1):
-                    acc = zero
-                    for k in range(nx):
-                        gi = As[t][k][i] if i < nx else Bs[t][k][i - nx]
-                        gj = As[t][k][j] if j < nx else Bs[t][k][j - nx]
-                        acc = acc + gi * gj
-                    D[t][i][j] = D[t][i][j] + rho * acc
-                    if i != j:
-                        D[t][j][i] = D[t][j][i] + rho * acc
-        O = [[[zero for _ in range(n)] for _ in range(n)]
-             for _ in range(T - 1)]
-        for t in range(T - 1):
+            if t < T - 1:
+                for i in range(n):
+                    for j in range(i + 1):
+                        acc = zero
+                        for k in range(nx):
+                            gi = As[t][k][i] if i < nx else Bs[t][k][i - nx]
+                            gj = As[t][k][j] if j < nx else Bs[t][k][j - nx]
+                            acc = acc + gi * gj
+                        Dt[i][j] = Dt[i][j] + rho * acc
+                        if i != j:
+                            Dt[j][i] = Dt[j][i] + rho * acc
+            if t == 0:  # pin x0 block
+                for i in range(nx):
+                    for j in range(n):
+                        Dt[i][j] = zero
+                        Dt[j][i] = zero
+                    Dt[i][i] = zero + 1.0
+            return Dt
+
+        def O_fn(t):
+            Ot = [[zero for _ in range(n)] for _ in range(n)]
             for i in range(nx):
                 for j in range(n):
+                    if t == 0 and j < nx:
+                        continue  # pinned x0 columns
                     g = As[t][i][j] if j < nx else Bs[t][i][j - nx]
-                    O[t][i][j] = -rho * g
+                    Ot[i][j] = -rho * g
+            return Ot
 
-        # ---- pin x0 block ----
+        # ---- pin x0 gradient ----
         for i in range(nx):
             grad[0][i] = zero
-            for j in range(n):
-                D[0][i][j] = zero
-                D[0][j][i] = zero
-            D[0][i][i] = zero + 1.0
-        for i in range(n):
-            for j in range(nx):
-                O[0][i][j] = zero
 
         # ---- Newton step ----
-        d = tile_bt_factor_solve(D, O, grad, T, n, reg)
+        d = tile_bt_factor_solve_fn(D_fn, O_fn, grad, T, n, reg)
         d = tup([[-d[t][i] for i in range(n)] for t in range(T)])
 
         # ---- line search (fori over candidates) ----

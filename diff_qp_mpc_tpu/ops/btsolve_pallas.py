@@ -83,18 +83,23 @@ def tile_solve_upper_vec(L, v, n):
     return x
 
 
-def tile_bt_factor_solve(D, O, b, T, n, reg):
-    """Block-tridiagonal factor+solve on tile lists.
+def tile_bt_factor_solve_fn(D_fn, O_fn, b, T, n, reg):
+    """Block-tridiagonal factor+solve with LAZY block providers.
 
-    D: [T][n][n] tiles, O: [T-1][n][n] tiles, b: [T][n] tiles -> x tiles.
-    """
+    D_fn(t) -> [n][n] tiles, O_fn(t) -> [n][n] tiles (t = 0..T-2),
+    b: [T][n] tiles -> x tiles. Building each block inside the sweep lets
+    it die immediately after folding into the Cholesky — the peak-VMEM fix
+    for large-n models (quadrotor: materializing all D/O costs ~9 MB of
+    the 16 MB budget at T=5, n=16)."""
     Ls, Ss = [], [None]
-    D0 = [[D[0][i][j] + (reg if i == j else 0.0) for j in range(n)]
+    D0 = D_fn(0)
+    D0 = [[D0[i][j] + (reg if i == j else 0.0) for j in range(n)]
           for i in range(n)]
     Ls.append(tile_chol(D0, n))
     for t in range(1, T):
-        St = tile_solve_lower_mat(Ls[t - 1], O[t - 1], n)
-        Dt = [[D[t][i][j] for j in range(n)] for i in range(n)]
+        St = tile_solve_lower_mat(Ls[t - 1], O_fn(t - 1), n)
+        Dt = D_fn(t)
+        Dt = [[Dt[i][j] for j in range(n)] for i in range(n)]
         for i in range(n):
             for j in range(i + 1):
                 acc = Dt[i][j]
@@ -120,6 +125,15 @@ def tile_bt_factor_solve(D, O, b, T, n, reg):
                 v[i] = v[i] - Ss[t + 1][k][i] * xs[t + 1][k]
         xs[t] = tile_solve_upper_vec(Ls[t], v, n)
     return xs
+
+
+def tile_bt_factor_solve(D, O, b, T, n, reg):
+    """Block-tridiagonal factor+solve on materialized tile lists.
+
+    D: [T][n][n] tiles, O: [T-1][n][n] tiles, b: [T][n] tiles -> x tiles.
+    """
+    return tile_bt_factor_solve_fn(lambda t: D[t], lambda t: O[t], b, T, n,
+                                   reg)
 
 
 def _factor_solve_kernel(T: int, n: int, reg: float,
