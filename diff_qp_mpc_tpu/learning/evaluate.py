@@ -93,7 +93,9 @@ def main(argv=None):
     if args.x64:
         jax.config.update("jax_enable_x64", True)
 
-    env = make_env(args.env)
+    env_kwargs = ({'stabilization': True}
+                  if getattr(args, 'stabilization', False) else {})
+    env = make_env(args.env, **env_kwargs)
     policy = make_policy(args, env)
     # restore: template params from a fresh init
     key = jax.random.PRNGKey(0)

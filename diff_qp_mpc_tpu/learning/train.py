@@ -39,6 +39,9 @@ from diff_qp_mpc_tpu.utils.metrics import MetricsWriter
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="DEQ-MPC imitation learning")
     p.add_argument("--env", type=str, default="integrator")
+    p.add_argument("--stabilization", action="store_true",
+                   help="use the env's -stabilize variant (initial states "
+                        "near the goal; reference env ctor flag)")
     p.add_argument("--deq", action="store_true")
     p.add_argument("--deq_iter", type=int, default=6)
     p.add_argument("--bsz", type=int, default=256)
@@ -170,7 +173,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
-    env = make_env(args.env)
+    env_kwargs = ({'stabilization': True}
+                  if getattr(args, 'stabilization', False) else {})
+    env = make_env(args.env, **env_kwargs)
     name = args.name or (
         f"{'deqmpc' if args.deq else 'bc'}_{args.env}_T{args.T}"
         f"_bsz{args.bsz}_deq_iter{args.deq_iter}")
