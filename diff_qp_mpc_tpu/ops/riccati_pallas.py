@@ -27,86 +27,88 @@ def _mat(rows, cols, fill=None):
     return [[fill] * cols for _ in range(rows)]
 
 
-def _riccati_kernel(T: int, nx: int, nu: int, reg: float,
-                    cxx_ref, cxu_ref, cuu_ref, gx_ref, gu_ref,
-                    a_ref, b_ref, r_ref, dx0_ref,
-                    dx_ref, du_ref, lam_ref):
-    def load(ref, t, rows, cols):
-        return [[ref[0, t, i, j] for j in range(cols)] for i in range(rows)]
-
-    def loadv(ref, t, rows):
-        return [ref[0, t, i] for i in range(rows)]
-
-    def matmul(Am, Bm, ra, ca, cb):
-        out = _mat(ra, cb)
-        for i in range(ra):
-            for j in range(cb):
-                s = Am[i][0] * Bm[0][j]
-                for k in range(1, ca):
-                    s = s + Am[i][k] * Bm[k][j]
-                out[i][j] = s
-        return out
-
-    def matvec(Am, v, ra, ca):
-        out = [None] * ra
-        for i in range(ra):
-            s = Am[i][0] * v[0]
+def tile_matmul(Am, Bm, ra, ca, cb):
+    out = _mat(ra, cb)
+    for i in range(ra):
+        for j in range(cb):
+            s = Am[i][0] * Bm[0][j]
             for k in range(1, ca):
-                s = s + Am[i][k] * v[k]
-            out[i] = s
-        return out
+                s = s + Am[i][k] * Bm[k][j]
+            out[i][j] = s
+    return out
 
-    def transpose(Am, ra, ca):
-        return [[Am[i][j] for i in range(ra)] for j in range(ca)]
 
-    def chol(Dm, m):
-        L = _mat(m, m)
-        for i in range(m):
-            for j in range(i + 1):
-                s = Dm[i][j]
-                for k in range(j):
-                    s = s - L[i][k] * L[j][k]
-                if i == j:
-                    L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-30))
-                else:
-                    L[i][j] = s / L[j][j]
-        return L
+def tile_matvec(Am, v, ra, ca):
+    out = [None] * ra
+    for i in range(ra):
+        s = Am[i][0] * v[0]
+        for k in range(1, ca):
+            s = s + Am[i][k] * v[k]
+        out[i] = s
+    return out
 
-    def chol_solve_vec(L, v, m):
-        y = [None] * m
-        for i in range(m):
-            s = v[i]
-            for k in range(i):
-                s = s - L[i][k] * y[k]
-            y[i] = s / L[i][i]
-        x = [None] * m
-        for i in reversed(range(m)):
-            s = y[i]
-            for k in range(i + 1, m):
-                s = s - L[k][i] * x[k]
-            x[i] = s / L[i][i]
-        return x
+
+def tile_transpose(Am, ra, ca):
+    return [[Am[i][j] for i in range(ra)] for j in range(ca)]
+
+
+def tile_chol_sq(Dm, m):
+    L = _mat(m, m)
+    for i in range(m):
+        for j in range(i + 1):
+            s = Dm[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def tile_chol_solve_vec(L, v, m):
+    y = [None] * m
+    for i in range(m):
+        s = v[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * m
+    for i in reversed(range(m)):
+        s = y[i]
+        for k in range(i + 1, m):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def riccati_tiles(Cxx_l, Cxu_l, Cuu_l, gx_l, gu_l, A_l, B_l, r_l, dx0,
+                  T, nx, nu, reg):
+    """Riccati LQR-KKT solve on tile lists (shared by the standalone
+    Riccati kernel and the fused trajQP IPM kernel).
+
+    Cxx_l: [T][nx][nx] tiles etc.; A_l/B_l/r_l: [T-1] stages; dx0: [nx]
+    tiles. Returns (dx [T][nx], du [T][nu], lam [T][nx]) tile lists."""
+    matmul, matvec, transpose = tile_matmul, tile_matvec, tile_transpose
+    chol, chol_solve_vec = tile_chol_sq, tile_chol_solve_vec
 
     # ---- backward recursion ----
+    zero = gx_l[0][0] * 0.0
     P = _mat(nx, nx, None)
-    p = [None] * nx
-    zero = gx_ref[0, 0, 0] * 0.0
+    p = [zero] * nx
     for i in range(nx):
-        p[i] = zero
         for j in range(nx):
             P[i][j] = zero
 
     Ks, ks, Ps, ps = [None] * T, [None] * T, [None] * T, [None] * T
     for t in reversed(range(T)):
-        Cxx = load(cxx_ref, t, nx, nx)
-        Cxu = load(cxu_ref, t, nx, nu)
-        Cuu = load(cuu_ref, t, nu, nu)
-        qx = loadv(gx_ref, t, nx)
-        qu = loadv(gu_ref, t, nu)
+        Cxx = Cxx_l[t]
+        Cxu = Cxu_l[t]
+        Cuu = Cuu_l[t]
+        qx = list(gx_l[t])
+        qu = list(gu_l[t])
         if t < T - 1:
-            At = load(a_ref, t, nx, nx)
-            Bt = load(b_ref, t, nx, nu)
-            rt = loadv(r_ref, t, nx)
+            At, Bt, rt = A_l[t], B_l[t], r_l[t]
             PA = matmul(P, At, nx, nx, nx)
             PB = matmul(P, Bt, nx, nx, nu)
             m_vec = matvec(P, rt, nx, nx)
@@ -132,7 +134,9 @@ def _riccati_kernel(T: int, nx: int, nu: int, reg: float,
             for i in range(nu):
                 qu[i] = qu[i] + Bm_qu[i]
         else:
-            Qxx, Qxu, Quu = Cxx, Cxu, Cuu
+            Qxx = [[Cxx[i][j] for j in range(nx)] for i in range(nx)]
+            Qxu = [[Cxu[i][j] for j in range(nu)] for i in range(nx)]
+            Quu = [[Cuu[i][j] for j in range(nu)] for i in range(nu)]
         for i in range(nu):
             Quu[i][i] = Quu[i][i] + reg
         Lc = chol(Quu, nu)
@@ -163,24 +167,52 @@ def _riccati_kernel(T: int, nx: int, nu: int, reg: float,
         Ks[t], ks[t], Ps[t], ps[t] = K, kv, P, p
 
     # ---- forward rollout ----
-    dx = [dx0_ref[0, i] for i in range(nx)]
+    dx = list(dx0)
+    dxs, dus, lams = [], [], []
     for t in range(T):
-        du = matvec(Ks[t], dx, nu, nx)
+        du = tile_matvec(Ks[t], dx, nu, nx)
         for i in range(nu):
             du[i] = du[i] + ks[t][i]
-        lam = matvec(Ps[t], dx, nx, nx)
-        for i in range(nx):
-            dx_ref[0, t, i] = dx[i]
-            lam_ref[0, t, i] = -(lam[i] + ps[t][i])
-        for i in range(nu):
-            du_ref[0, t, i] = du[i]
+        lam = tile_matvec(Ps[t], dx, nx, nx)
+        dxs.append(list(dx))
+        dus.append(du)
+        lams.append([-(lam[i] + ps[t][i]) for i in range(nx)])
         if t < T - 1:
-            At = load(a_ref, t, nx, nx)
-            Bt = load(b_ref, t, nx, nu)
-            rt = loadv(r_ref, t, nx)
-            Adx = matvec(At, dx, nx, nx)
-            Bdu = matvec(Bt, du, nx, nu)
+            At, Bt, rt = A_l[t], B_l[t], r_l[t]
+            Adx = tile_matvec(At, dx, nx, nx)
+            Bdu = tile_matvec(Bt, du, nx, nu)
             dx = [Adx[i] + Bdu[i] + rt[i] for i in range(nx)]
+    return dxs, dus, lams
+
+
+def _riccati_kernel(T: int, nx: int, nu: int, reg: float,
+                    cxx_ref, cxu_ref, cuu_ref, gx_ref, gu_ref,
+                    a_ref, b_ref, r_ref, dx0_ref,
+                    dx_ref, du_ref, lam_ref):
+    def load(ref, t, rows, cols):
+        return [[ref[0, t, i, j] for j in range(cols)] for i in range(rows)]
+
+    def loadv(ref, t, rows):
+        return [ref[0, t, i] for i in range(rows)]
+
+    Cxx_l = [load(cxx_ref, t, nx, nx) for t in range(T)]
+    Cxu_l = [load(cxu_ref, t, nx, nu) for t in range(T)]
+    Cuu_l = [load(cuu_ref, t, nu, nu) for t in range(T)]
+    gx_l = [loadv(gx_ref, t, nx) for t in range(T)]
+    gu_l = [loadv(gu_ref, t, nu) for t in range(T)]
+    A_l = [load(a_ref, t, nx, nx) for t in range(T - 1)]
+    B_l = [load(b_ref, t, nx, nu) for t in range(T - 1)]
+    r_l = [loadv(r_ref, t, nx) for t in range(T - 1)]
+    dx0 = [dx0_ref[0, i] for i in range(nx)]
+
+    dxs, dus, lams = riccati_tiles(Cxx_l, Cxu_l, Cuu_l, gx_l, gu_l,
+                                   A_l, B_l, r_l, dx0, T, nx, nu, reg)
+    for t in range(T):
+        for i in range(nx):
+            dx_ref[0, t, i] = dxs[t][i]
+            lam_ref[0, t, i] = lams[t][i]
+        for i in range(nu):
+            du_ref[0, t, i] = dus[t][i]
 
 
 @functools.partial(jax.jit, static_argnames=("reg", "interpret"))

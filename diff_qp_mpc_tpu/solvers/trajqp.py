@@ -50,8 +50,10 @@ class TrajQPConfig:
     min_slack: float = 1e-8
     # Riccati kernel: "scan" | "pallas" | "pprefix" | "auto" (pallas on
     # TPU). "pprefix" is the O(log T)-depth associative-scan Riccati
-    # (ops.riccati_pprefix) — the long-horizon kernel.
+    # (ops.riccati_pprefix) — the long-horizon kernel. "fused" runs the
+    # ENTIRE IPM as one Pallas program (ops.trajqp_fused_pallas).
     kernel: str = "auto"
+    interpret: bool = False  # Pallas interpreter mode (CPU testing)
 
 
 def riccati_solver(kernel: str = "auto"):
@@ -134,6 +136,33 @@ def solve(C: Array, c: Array, A: Array, B: Array, f: Array, x0: Array,
     cb = split_cost(C, c, nx)
     u_hi = jnp.broadcast_to(bounds.u_hi, (bsz, T, nu)).astype(dt)
     u_lo = jnp.broadcast_to(bounds.u_lo, (bsz, T, nu)).astype(dt)
+
+    if cfg.kernel == "fused":
+        import numpy as _np
+
+        from diff_qp_mpc_tpu.ops.trajqp_fused_pallas import fused_trajqp_solve
+
+        u0 = (jnp.clip(u_init, u_lo + 1e-3, u_hi - 1e-3)
+              if u_init is not None else 0.5 * (u_hi + u_lo))
+        if x_init is None:
+            def roll0(xt, inp):
+                A_t, B_t, f_t, u_t = inp
+                return _mv(A_t, xt) + _mv(B_t, u_t) + f_t, \
+                    _mv(A_t, xt) + _mv(B_t, u_t) + f_t
+            _, xs0 = jax.lax.scan(
+                roll0, x0, (jnp.swapaxes(A, 0, 1), jnp.swapaxes(B, 0, 1),
+                            jnp.swapaxes(f, 0, 1),
+                            jnp.swapaxes(u0[:, :-1], 0, 1)))
+            x_init = jnp.concatenate([x0[:, None],
+                                      jnp.swapaxes(xs0, 0, 1)], axis=1)
+        lo_t = tuple(float(v) for v in _np.asarray(bounds.u_lo))
+        hi_t = tuple(float(v) for v in _np.asarray(bounds.u_hi))
+        x_f, u_f, lam_f, zh, zl, sh, sl, resids = fused_trajqp_solve(
+            C, c, A, B, f, x0, x_init, u0, lo_t, hi_t,
+            max_iter=cfg.max_iter, reg=cfg.reg, min_slack=cfg.min_slack,
+            interpret=cfg.interpret)
+        return TrajQPSolution(x=x_f, u=u_f, lam=lam_f, z_hi=zh, z_lo=zl,
+                              s_hi=sh, s_lo=sl, resids=resids)
 
     # --- initialization: interior (s, z) > 0; warm-startable (x, u) ---
     u = (jnp.clip(u_init, u_lo + 1e-3, u_hi - 1e-3)
