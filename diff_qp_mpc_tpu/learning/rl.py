@@ -517,11 +517,13 @@ def make_sac(env, cfg: SACConfig):
 
 
 def train_sac(env, cfg: SACConfig = SACConfig(), iters: int = 30_000,
-              seed: int = 0, log_every: int = 2_000, eval_rollouts: int = 64):
+              seed: int = 0, log_every: int = 2_000, eval_rollouts: int = 64,
+              ckpt_path: str | None = None):
     """Train SAC; returns (actor_params, act_fn) where
     ``act_fn(params, obs) -> deterministic action`` (the reference's
     ``policy.sample(...)[2]`` mean action used for expert rollouts,
-    datagen.py:255-262)."""
+    datagen.py:255-262). ``ckpt_path`` saves (actor, obs stats) at every
+    log point so long runs are not all-or-nothing."""
     (actor_net, mean_action, norm_obs, init_state, warmup_block,
      train_block) = make_sac(env, cfg)
     st = init_state(seed)
@@ -538,6 +540,12 @@ def train_sac(env, cfg: SACConfig = SACConfig(), iters: int = 30_000,
                   f"q_loss {float(q_loss[-1]):8.4f} a_loss {float(a_loss[-1]):+8.4f} "
                   f"alpha {float(jnp.exp(st.log_alpha)):.4f} "
                   f"eval_ep_r {ep_r:+9.2f}", flush=True)
+            if ckpt_path is not None:
+                from diff_qp_mpc_tpu.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(ckpt_path, {
+                    "actor": st.actor, "obs_mean": st.obs_mean,
+                    "obs_var": st.obs_var})
 
     final_st = st
 
@@ -613,7 +621,10 @@ def main(argv=None):
     if args.algo == "sac":
         cfg = SACConfig(normalize_obs=args.normalize_obs,
                         reward_scale=args.reward_scale)
-        _, act_fn = train_sac(env, cfg, iters=args.iters, seed=args.seed)
+        ckpt = (args.save_data + ".sac_ckpt.msgpack"
+                if args.save_data else None)
+        _, act_fn = train_sac(env, cfg, iters=args.iters, seed=args.seed,
+                              ckpt_path=ckpt)
         if args.save_data:
             from diff_qp_mpc_tpu.learning.data import save_expert_pickle
 
