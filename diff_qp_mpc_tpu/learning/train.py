@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrain_iters", type=int, default=1000)
     p.add_argument("--qp_iter", type=int, default=2,
                    help="AL outer iterations (reference al_iter)")
+    p.add_argument("--tracking_r", type=float, default=None,
+                   help="override the tracking-cost control weight R "
+                        "(default: env.Rlqr). The cartpole envs ship "
+                        "R=1e-8 (reference my_envs/cartpole.py:78), which "
+                        "ill-conditions the 2-link tracking solve under a "
+                        "learned reference; a small positive R stabilizes "
+                        "training")
     p.add_argument("--deq_out_type", type=int, default=2)
     p.add_argument("--layer_type", type=str, default="mlp",
                    choices=["mlp", "conv"])
@@ -97,11 +104,14 @@ def make_policy(args, env):
     if solver_type not in ("al", "ip"):
         raise ValueError(f"--solver_type must be 'al' or 'ip', got {solver_type!r}"
                          " (reference Tracking_MPC dispatch, policies.py:605-662)")
+    R = np.asarray(env.Rlqr)
+    if getattr(args, "tracking_r", None) is not None:
+        R = np.full_like(R, args.tracking_r)
     tracking = TrackingMPC(
         model=env.model,
         T=args.T,
         Q=tuple(float(v) for v in np.asarray(env.Qlqr)),
-        R=tuple(float(v) for v in np.asarray(env.Rlqr)),
+        R=tuple(float(v) for v in R),
         u_lo=tuple(float(v) for v in env.action_space.low),
         u_hi=tuple(float(v) for v in env.action_space.high),
         cfg=al_mpc.ALConfig(al_iter=args.qp_iter),
