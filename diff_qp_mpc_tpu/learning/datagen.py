@@ -49,8 +49,12 @@ EXPERT_PLANNER = {
                                     R=(1e-4,), qp_iter=10),
     "Pendulum-v0": dict(T=40, Q=(10.0, 1.0), R=(1e-3,), qp_iter=10),
     "Pendulum-v0-stabilize": dict(T=20, Q=(10.0, 1.0), R=(1e-3,), qp_iter=5),
+    # u_goal="hover": center the control penalty at the hover thrust, not 0 —
+    # with R|u|^2 around u=0 the planner trades altitude for thrust and the
+    # whole dataset hovers with a steady-state z sag of ~0.06 (> the 0.05
+    # success radius), capping any imitation policy below success.
     "RexQuadrotor-v0": dict(T=20, Q=(10.0,) * 3 + (1.0,) * 9, R=(0.1,) * 4,
-                            qp_iter=5),
+                            qp_iter=5, u_goal="hover"),
 }
 
 
@@ -80,7 +84,11 @@ def mpc_expert_rollouts(env, num_traj: int, T: int = 30, max_steps: int = 200,
     R = jnp.asarray(planner.get("R", env.Rlqr), jnp.float64)
     Cd = jnp.broadcast_to(jnp.concatenate([Q, R]), (bsz, T, n))
     goal = getattr(env, "goal", jnp.zeros((nx,)))
-    xu_goal = jnp.concatenate([jnp.asarray(goal, jnp.float64), jnp.zeros((nu,))])
+    if planner.get("u_goal") == "hover":
+        u_goal = jnp.asarray(model.hover_thrust(), jnp.float64)
+    else:
+        u_goal = jnp.zeros((nu,))
+    xu_goal = jnp.concatenate([jnp.asarray(goal, jnp.float64), u_goal])
     cost = DiagQuadCost(Cd=Cd, c=jnp.broadcast_to(-Cd * xu_goal, (bsz, T, n)))
     bounds = Bounds(
         u_lo=jnp.asarray(env.action_space.low, jnp.float64),

@@ -222,6 +222,7 @@ def main(argv=None):
     step = make_train_step(policy, optimizer, args)
 
     losses, losses_end, dyn_resids, times = [], [], [], []
+    best_loss_end = float("inf")
     float_dt = jnp.float64 if args.x64 else jnp.float32
     for i in range(args.iters):
         batch = data_mod.sample_window_batch(dataset, args.bsz, args.T, rng)
@@ -252,6 +253,18 @@ def main(argv=None):
             if args.save:
                 save_checkpoint(os.path.join(logdir, "ckpt.msgpack"),
                                 params, opt_state, meta=vars(args))
+                # long DEQ-MPC runs can destabilize late (large implicit-
+                # gradient spikes); keep the best-window params so eval is
+                # never hostage to the last iterate
+                # skip the pretrain->deqmpc boundary window: its loss
+                # average still mixes (much smaller) pretrain-mode losses
+                first_full = (args.pretrain_iters if args.pretrain else 0) \
+                    + args.ckpt_every
+                if qp_solve and i >= first_full and \
+                        np.mean(losses_end) < best_loss_end:
+                    best_loss_end = float(np.mean(losses_end))
+                    save_checkpoint(os.path.join(logdir, "ckpt_best.msgpack"),
+                                    params, opt_state, meta=vars(args))
             losses, losses_end, dyn_resids, times = [], [], [], []
     writer.close()
     return params

@@ -49,8 +49,12 @@ def test_mpc_quadrotor_hover_quality():
     check_format(trajs, 12, 4)
     assert len(trajs) == 300
     finals = np.array([t[-1][0] for t in trajs])
-    mean_pos_err = np.linalg.norm(finals[:, :3], axis=1).mean()
-    assert mean_pos_err < 0.15, mean_pos_err
+    pos_err = np.linalg.norm(finals[:, :3], axis=1)
+    # every trajectory must END inside the env's 0.05 success radius —
+    # an expert that hovers outside it caps imitation below success
+    # (the u_goal="hover" planner fix; mean final err ≈ 0.02)
+    assert pos_err.mean() < 0.05, pos_err.mean()
+    assert (pos_err < 0.05).mean() > 0.95, (pos_err < 0.05).mean()
 
 
 def test_mpc_stabilize_sets():
