@@ -81,8 +81,12 @@ class _CartpoleEnvBase(Env):
     """Swing-up/stabilize cartpole (my_envs/cartpole.py:40-205 semantics;
     our pole angles are measured from DOWN, so upright is θ = π)."""
 
-    def __init__(self, stabilization: bool):
+    def __init__(self, stabilization: bool, init_scale: float = 1.0):
         self.stabilization = stabilization
+        # widens the initial-state sampling box (reference envs expose the
+        # same knob informally by editing the reset ranges; used by datagen
+        # to cover the policy's capture basin with stabilize expert data)
+        self.init_scale = init_scale
         nq = self.model.nq
         high = np.concatenate([np.full(nq, np.pi), np.full(nq, np.pi * 5)])
         self.observation_space = Spaces(-high, high)
@@ -102,7 +106,7 @@ class _CartpoleEnvBase(Env):
     def _sample_init(self, key, bsz):
         nq = self.nq
         if self.stabilization:
-            high = jnp.concatenate(
+            high = self.init_scale * jnp.concatenate(
                 [jnp.array([0.1]), jnp.full((nq - 1,), 0.05), jnp.full((nq,), 0.05)])
             offset = jnp.concatenate(
                 [jnp.zeros((1,)), jnp.full((nq - 1,), np.pi), jnp.zeros((nq,))])
@@ -127,21 +131,23 @@ class _CartpoleEnvBase(Env):
 
 
 class Cartpole1LEnv(_CartpoleEnvBase):
-    def __init__(self, stabilization: bool = False, dt: float = 0.05):
+    def __init__(self, stabilization: bool = False, dt: float = 0.05,
+                 init_scale: float = 1.0):
         self.model = Cartpole1L(dt=dt, max_force=100.0)
         self.u_bounds = 100.0
         self.max_steps = 200
         self.spec_id = "Cartpole1l-v0" + ("-stabilize" if stabilization else "")
-        super().__init__(stabilization)
+        super().__init__(stabilization, init_scale)
 
 
 class Cartpole2LEnv(_CartpoleEnvBase):
-    def __init__(self, stabilization: bool = False, dt: float = 0.05):
+    def __init__(self, stabilization: bool = False, dt: float = 0.05,
+                 init_scale: float = 1.0):
         self.model = Cartpole2L(dt=dt, max_force=250.0)
         self.u_bounds = 250.0
         self.max_steps = 300
         self.spec_id = "Cartpole2l-v0" + ("-stabilize" if stabilization else "")
-        super().__init__(stabilization)
+        super().__init__(stabilization, init_scale)
 
 
 class QuadrotorEnv(Env):

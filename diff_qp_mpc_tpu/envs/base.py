@@ -65,6 +65,11 @@ class Env:
     spec_id: str
     max_steps: int = 200
     success_streak: int = 10
+    # set False to keep episodes running past the success streak (expert
+    # data collection wants long goal-holding tails; streak-terminated
+    # trajectories contain only success_streak-1 in-radius states, which
+    # starves imitation of hold-phase data)
+    terminate_on_success: bool = True
 
     @property
     def nx(self) -> int:
@@ -117,8 +122,9 @@ class Env:
         succ = self._success(x)
         num_successes = jnp.where(succ, state.num_successes + 1, 0)
         steps = state.steps + 1
-        done = ((num_successes >= self.success_streak)
-                | (steps >= self.max_steps) | self._diverged(x))
+        done = (steps >= self.max_steps) | self._diverged(x)
+        if self.terminate_on_success:
+            done = done | (num_successes >= self.success_streak)
         reward = self._reward(x, u)
         return EnvState(x=x, num_successes=num_successes, steps=steps), reward, done
 

@@ -47,7 +47,17 @@ def merge_trajectories(trajs: Sequence[Sequence[Tuple]]) -> Dict[str, Array]:
 
 
 def load_expert_pickle(path: str) -> Dict[str, Array]:
-    """Load a reference-format expert pickle and merge it."""
+    """Load a reference-format expert pickle and merge it.
+
+    ``path`` may be a comma-separated list; the datasets are concatenated
+    (each episode keeps its terminating mask=0, so windows never cross a
+    dataset boundary). Used to mix e.g. a swing-up expert set with a
+    goal-holding stabilize set for the same robot.
+    """
+    if "," in path:
+        parts = [load_expert_pickle(p) for p in path.split(",") if p]
+        return {k: np.concatenate([d[k] for d in parts], axis=0)
+                for k in parts[0]}
     with open(path, "rb") as f:
         trajs = pickle.load(f)
     if isinstance(trajs, dict):  # already merged

@@ -154,6 +154,12 @@ def main(argv=None):
                    help="force jax platform (e.g. cpu); the axon sitecustomize\n                   ignores the JAX_PLATFORMS env var, so use this flag")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--stabilization", action="store_true")
+    p.add_argument("--init_scale", type=float, default=None,
+                   help="widen the env's initial-state box (stabilize-data"
+                        " basin coverage)")
+    p.add_argument("--no_success_term", action="store_true",
+                   help="run episodes to the step limit even after the"
+                        " success streak (collect goal-HOLDING tails)")
     p.add_argument("--expert", type=str, default="mpc",
                    choices=["mpc", "ppo", "sac"],
                    help="mpc: receding-horizon SQP expert; ppo/sac: train an"
@@ -173,7 +179,11 @@ def main(argv=None):
     kwargs = {}
     if args.stabilization:
         kwargs["stabilization"] = True
+    if args.init_scale is not None:
+        kwargs["init_scale"] = args.init_scale
     env = make_env(args.env, **kwargs)
+    if args.no_success_term:
+        env.terminate_on_success = False
     if args.expert == "ppo":
         from diff_qp_mpc_tpu.learning.rl import ppo_expert_rollouts, train_ppo
 

@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--T", type=int, default=5)
     p.add_argument("--hdim", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr_decay", action="store_true",
+                   help="cosine-decay the lr to 10%% of --lr over --iters"
+                        " (long DEQ-MPC runs destabilize at fixed lr)")
     p.add_argument("--grad_clip", type=float, default=0.0,
                    help="global-norm gradient clip (0 = off, the reference"
                         " default; DEQ-MPC losses spike when the tracking"
@@ -68,13 +71,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "ill-conditions the 2-link tracking solve under a "
                         "learned reference; a small positive R stabilizes "
                         "training")
-    p.add_argument("--deq_out_type", type=int, default=2)
+    # default 1 = STATE-ONLY supervision (reference train.py:65-66). With 2
+    # (state+action) the unweighted L1 action term dominates for large-force
+    # robots (cartpole u≈±100/±250) and the MPC phase plateaus at a loss
+    # the size of the action scale.
+    p.add_argument("--deq_out_type", type=int, default=1)
     p.add_argument("--layer_type", type=str, default="mlp",
                    choices=["mlp", "conv"])
     p.add_argument("--fused", action="store_true",
                    help="use the fused whole-solver Pallas kernel for the "
                         "tracking MPC (TPU; elementwise-step models)")
-    p.add_argument("--policy_out_type", type=int, default=2)
+    p.add_argument("--policy_out_type", type=int, default=1)
     p.add_argument("--data_noise_type", type=int, default=0)
     p.add_argument("--data_noise_std", type=float, default=0.0)
     p.add_argument("--data_noise_mean", type=float, default=0.0)
@@ -205,11 +212,15 @@ def main(argv=None):
                              qp_solve=False)
     else:
         params = policy.init(key, jnp.asarray(init_batch["state"][:, 0]))
+    if args.lr_decay:
+        lr = optax.cosine_decay_schedule(args.lr, args.iters, alpha=0.1)
+    else:
+        lr = args.lr
     if args.grad_clip > 0:
         optimizer = optax.chain(optax.clip_by_global_norm(args.grad_clip),
-                                optax.adam(args.lr))
+                                optax.adam(lr))
     else:
-        optimizer = optax.adam(args.lr)
+        optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
     if args.load:
         from diff_qp_mpc_tpu.utils.checkpoint import load_checkpoint
