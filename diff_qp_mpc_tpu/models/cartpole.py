@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from diff_qp_mpc_tpu.models.base import DynamicsModel, rk4
-from diff_qp_mpc_tpu.models.lagrangian import lagrangian_ode
+from diff_qp_mpc_tpu.models.lagrangian import lagrangian_ode, lagrangian_ode_parts
 
 Array = jnp.ndarray
 
@@ -55,9 +55,19 @@ class Cartpole1L(DynamicsModel):
             return jnp.concatenate([u, jnp.zeros(1, u.dtype)])
 
         self._ode = lagrangian_ode(kinetic, potential, input_map)
+        self._ode_parts = lagrangian_ode_parts(
+            kinetic, potential,
+            lambda q, u: (u[0], q[0] * 0.0), self.nq)
 
     def step(self, x: Array, u: Array) -> Array:
         return rk4(self._ode, x, u, self.dt)
+
+    def step_parts(self, xs, us):
+        """Coordinate-wise step for the fused Pallas kernels (tuples of
+        batch tiles in/out; see lagrangian.manipulator_accel_parts)."""
+        from diff_qp_mpc_tpu.models.quadrotor import _parts_rk4
+
+        return _parts_rk4(self._ode_parts, xs, us, self.dt)
 
     def action_clip(self, u: Array) -> Array:
         return jnp.clip(u, -self.max_force, self.max_force)
@@ -119,9 +129,18 @@ class Cartpole2L(DynamicsModel):
             return jnp.concatenate([u, jnp.zeros(2, u.dtype)])
 
         self._ode = lagrangian_ode(kinetic, potential, input_map)
+        self._ode_parts = lagrangian_ode_parts(
+            kinetic, potential,
+            lambda q, u: (u[0], q[0] * 0.0, q[0] * 0.0), self.nq)
 
     def step(self, x: Array, u: Array) -> Array:
         return rk4(self._ode, x, u, self.dt)
+
+    def step_parts(self, xs, us):
+        """Coordinate-wise step for the fused Pallas kernels."""
+        from diff_qp_mpc_tpu.models.quadrotor import _parts_rk4
+
+        return _parts_rk4(self._ode_parts, xs, us, self.dt)
 
     def action_clip(self, u: Array) -> Array:
         return jnp.clip(u, -self.max_force, self.max_force)

@@ -63,6 +63,15 @@ def test_fused_matches_scan_cartpole_cossin():
     _compare(CartpoleCosSin())
 
 
+def test_fused_matches_scan_cartpole1l():
+    """Lagrangian-engine model through the fused kernel: exercises the
+    elementwise manipulator_accel_parts path (autodiff + Gaussian
+    elimination traced inside the Pallas program)."""
+    from diff_qp_mpc_tpu.models import Cartpole1L
+
+    _compare(Cartpole1L(dt=0.05, max_force=100.0))
+
+
 def test_quadrotor_step_parts_matches_array_path():
     from diff_qp_mpc_tpu.models import RexQuadrotor
 
@@ -75,6 +84,24 @@ def test_quadrotor_step_parts_matches_array_path():
                          tuple(u[:, i] for i in range(4)))
     np.testing.assert_allclose(np.asarray(jnp.stack(parts, -1)),
                                np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("Model", ["Cartpole1L", "Cartpole2L"])
+def test_cartpole_step_parts_matches_array_path(Model):
+    """The generic elementwise Lagrangian path (manipulator_accel_parts:
+    grad-of-sum derivatives + unrolled SPD Gaussian elimination) must agree
+    with the array-path manipulator_accel to machine precision."""
+    import diff_qp_mpc_tpu.models as models
+
+    m = getattr(models, Model)()
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(16, m.nx), jnp.float64)
+    u = jnp.asarray(rng.randn(16, m.nu) * 10, jnp.float64)
+    ref = m(x, u)
+    parts = m.step_parts(tuple(x[:, i] for i in range(m.nx)),
+                         tuple(u[:, i] for i in range(m.nu)))
+    np.testing.assert_allclose(np.asarray(jnp.stack(parts, -1)),
+                               np.asarray(ref), rtol=1e-12, atol=1e-12)
 
 
 def _grad_setup(model, B=8, T=3, dtype=jnp.float32):
