@@ -85,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_noise_type", type=int, default=0)
     p.add_argument("--data_noise_std", type=float, default=0.0)
     p.add_argument("--data_noise_mean", type=float, default=0.0)
+    p.add_argument("--input_noise_std", type=float, default=0.0,
+                   help="Gaussian noise std added to the policy INPUT x0 only"
+                        " (supervision stays clean) — exposure-bias"
+                        " regularizer: the net learns references that pull"
+                        " perturbed states back onto the expert trajectory."
+                        " Distinct from --data_noise_* (reference noisy-"
+                        "DATA experiments, which corrupt the targets too)")
     p.add_argument("--data", type=str, default=None,
                    help="expert pickle path (default: data/expert_traj_*)")
     p.add_argument("--expert_type", type=str, default="mpc")
@@ -149,6 +156,10 @@ def make_train_step(policy, optimizer, args):
         gt_actions = batch["action"]
         gt_mask = batch["mask"]
         x0 = gt_states[:, 0]
+        if args.input_noise_std > 0:
+            key, k_in = jax.random.split(key)
+            x0 = x0 + args.input_noise_std * jax.random.normal(
+                k_in, x0.shape, x0.dtype)
 
         def loss_fn(params):
             if args.deq:
