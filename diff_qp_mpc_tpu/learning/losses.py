@@ -21,7 +21,8 @@ def _masked_l1(pred: Array, gt: Array, mask: Array) -> Array:
 
 
 def iterate_loss(out_type: int, gt_states: Array, gt_actions: Array,
-                 mask: Array, states: Array, actions: Array) -> Array:
+                 mask: Array, states: Array, actions: Array,
+                 action_weight: float = 0.0) -> Array:
     loss = 0.0
     if out_type in (0, 2):
         loss += _masked_l1(actions, gt_actions, mask)
@@ -30,20 +31,28 @@ def iterate_loss(out_type: int, gt_states: Array, gt_actions: Array,
     if out_type == 3:
         nq = gt_states.shape[-1] // 2
         loss += _masked_l1(states[..., :nq], gt_states[..., :nq], mask)
+    if action_weight > 0.0 and out_type in (1, 3):
+        # scale-normalized action term: the reference's out_type-2 adds the
+        # RAW action L1, which for large-force robots (cartpole u≈±100/250)
+        # dominates the state term and stalls training; a small weight
+        # (e.g. 1/u_max) keeps the direct feedback supervision without the
+        # scale problem
+        loss += action_weight * _masked_l1(actions, gt_actions, mask)
     return loss
 
 
 def compute_loss_deqmpc(out_type: int, gt_states, gt_actions, mask,
-                        iterates: List[DEQMPCRollout]) -> Tuple[Array, Array]:
+                        iterates: List[DEQMPCRollout],
+                        action_weight: float = 0.0) -> Tuple[Array, Array]:
     """Supervise the MPC-projected trajectory of EVERY iterate
     (policies.py:800-808)."""
     loss = 0.0
     for it in iterates:
         loss = loss + iterate_loss(out_type, gt_states, gt_actions, mask,
-                                   it.states, it.actions)
+                                   it.states, it.actions, action_weight)
     last = iterates[-1]
     loss_end = iterate_loss(out_type, gt_states, gt_actions, mask,
-                            last.states, last.actions)
+                            last.states, last.actions, action_weight)
     return loss, loss_end
 
 

@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_noise_type", type=int, default=0)
     p.add_argument("--data_noise_std", type=float, default=0.0)
     p.add_argument("--data_noise_mean", type=float, default=0.0)
+    p.add_argument("--action_weight", type=float, default=0.0,
+                   help="weight on a scale-normalized action L1 added to"
+                        " state-only supervision (out_type 1/3); e.g."
+                        " 1/u_max. 0 = reference behavior")
     p.add_argument("--input_noise_std", type=float, default=0.0,
                    help="Gaussian noise std added to the policy INPUT x0 only"
                         " (supervision stays clean) — exposure-bias"
@@ -168,7 +172,7 @@ def make_train_step(policy, optimizer, args):
                 if qp_solve:
                     loss, loss_end = losses_mod.compute_loss_deqmpc(
                         args.policy_out_type, gt_states, gt_actions, gt_mask,
-                        iterates)
+                        iterates, action_weight=args.action_weight)
                 else:
                     loss, loss_end = losses_mod.compute_loss_deq(
                         gt_states, gt_actions, gt_mask, iterates)
