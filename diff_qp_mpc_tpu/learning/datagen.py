@@ -60,7 +60,8 @@ EXPERT_PLANNER = {
 
 def mpc_expert_rollouts(env, num_traj: int, T: int = 30, max_steps: int = 200,
                         seed: int = 0, qp_iter: int = 5,
-                        success_filter: bool = False):
+                        success_filter: bool = False,
+                        init_states=None):
     """Batched receding-horizon SQP-MPC expert (the role of
     datagen.py:24-143 PendulumExpert/get_*_expert_traj_mpc, using the
     shooting solver for long-horizon robustness).
@@ -78,6 +79,9 @@ def mpc_expert_rollouts(env, num_traj: int, T: int = 30, max_steps: int = 200,
     planner = EXPERT_PLANNER.get(env.spec_id, {})
     T = planner.get("T", T)
     qp_iter = planner.get("qp_iter", qp_iter)
+    if init_states is not None:  # DAgger relabeling: expert from the
+        num_traj = len(init_states)  # policy's own visited states
+        success_filter = False
     bsz = 2 * num_traj if success_filter else num_traj
     n = nx + nu
     Q = jnp.asarray(planner.get("Q", env.Qlqr), jnp.float64)
@@ -104,6 +108,11 @@ def mpc_expert_rollouts(env, num_traj: int, T: int = 30, max_steps: int = 200,
 
     key = jax.random.PRNGKey(seed)
     state = env.reset(key, bsz)
+    if init_states is not None:
+        import dataclasses
+
+        state = dataclasses.replace(
+            state, x=jnp.asarray(init_states, state.x.dtype))
     u_ws = jnp.zeros((bsz, T, nu), jnp.float64)
 
     xs, us, dones = [], [], []
