@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +59,10 @@ def evaluate_policy(env, policy, params, episodes: int = 64,
         u = act(params, obs)
         state, reward, done = env.step(state, u)
         r = np.asarray(reward)
+        # a diverging episode can emit NaN reward on its final live step
+        # (NaN state before the divergence cut fires); keep the aggregate
+        # finite and count the divergence instead
+        r = np.where(np.isfinite(r), r, 0.0)
         d = np.asarray(done)
         # success = the env's success-streak termination, NOT the step
         # limit (done alone conflates the two)
@@ -88,6 +94,28 @@ def main(argv=None):
     args = base.parse_args(argv)
     if args.ckpt is None:
         base.error("--ckpt is required for evaluation")
+
+    # Prefer the checkpoint's own training config (<ckpt>.meta.json,
+    # written by utils/checkpoint.py) for every policy-shaping field the
+    # user did not explicitly pass: the DEQ equilibrium is tuned to the
+    # training-time solver budget, so evaluating at a different qp_iter /
+    # deq_iter silently degrades the policy (see RESULTS.md eval-budget
+    # note). Explicit CLI flags still win.
+    raw = list(argv) if argv is not None else sys.argv[1:]
+    provided = {a.dest for a in base._actions
+                if any(opt in raw for opt in a.option_strings)}
+    meta_path = args.ckpt + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        # fused/x64 are deliberately NOT adopted: they are platform
+        # choices (store_true flags can't be un-set from the CLI, and a
+        # CPU eval of a fused-trained checkpoint must use the scan path)
+        for k in ("env", "deq", "deq_iter", "T", "hdim", "qp_iter",
+                  "deq_out_type", "policy_out_type", "layer_type",
+                  "solver_type", "tracking_r", "stabilization"):
+            if k in meta and k not in provided and hasattr(args, k):
+                setattr(args, k, meta[k])
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.x64:

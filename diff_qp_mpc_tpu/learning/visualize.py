@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 import jax
@@ -48,6 +49,33 @@ def render_cartpole_frame(ax, x, lengths=(0.5,)):
         px, py = nx_, ny_
 
 
+def render_quadrotor_frame(ax, x, trace=None, arm=0.3):
+    """12-state RexQuadrotor (pos, MRP attitude, vel, ω): 3D pose plot —
+    rotor cross oriented by the MRP rotation, trajectory trace, goal at
+    the origin (reference animators live in deqmpc/utils.py; the quadrotor
+    had none, so this is a capability add)."""
+    from diff_qp_mpc_tpu.models.rotation import mrp_to_rot
+
+    pos = np.asarray(x[:3], np.float64)
+    R = np.asarray(mrp_to_rot(jnp.asarray(x[3:6])), np.float64)
+    ax.clear()
+    lim = 1.5
+    ax.set_xlim(-lim, lim)
+    ax.set_ylim(-lim, lim)
+    ax.set_zlim(-lim, lim)
+    ax.scatter([0], [0], [0], marker="*", s=80, color="tab:green")
+    if trace is not None and len(trace):
+        tr = np.asarray(trace)
+        ax.plot(tr[:, 0], tr[:, 1], tr[:, 2], lw=0.8, color="tab:gray",
+                alpha=0.7)
+    # rotor arms along body x/y axes
+    for axis, color in ((R[:, 0], "tab:blue"), (R[:, 1], "tab:orange")):
+        p0, p1 = pos - arm * axis, pos + arm * axis
+        ax.plot([p0[0], p1[0]], [p0[1], p1[1]], [p0[2], p1[2]],
+                "o-", lw=2, color=color, markersize=3)
+    ax.set_title(f"|pos|={np.linalg.norm(pos):.3f}")
+
+
 def rollout_mpc(env, steps=100, bsz=1, seed=0, al_iter=4):
     """Closed-loop AL-MPC rollout (no learned policy) — the
     qpth/env_dx/control.py receding-horizon demo equivalent."""
@@ -82,14 +110,14 @@ def rollout_mpc(env, steps=100, bsz=1, seed=0, al_iter=4):
     return np.stack(xs_hist)
 
 
-def save_gif(frames_x, render_fn, out_path, fps=20):
+def save_gif(frames_x, render_fn, out_path, fps=20, subplot_kw=None):
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from matplotlib.animation import FuncAnimation, PillowWriter
 
-    fig, ax = plt.subplots(figsize=(4, 4))
+    fig, ax = plt.subplots(figsize=(4, 4), subplot_kw=subplot_kw or {})
 
     def update(i):
         render_fn(ax, frames_x[i])
@@ -132,13 +160,28 @@ def main(argv=None):
     p.add_argument("--T", type=int, default=5)
     p.add_argument("--deq_iter", type=int, default=6)
     p.add_argument("--hdim", type=int, default=128)
+    p.add_argument("--x64", action="store_true",
+                   help="enable f64 (the quadrotor tracking solve needs it "
+                        "off-TPU)")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
 
     from diff_qp_mpc_tpu.envs import make_env
 
-    env = make_env(args.env)
+    # a checkpoint carries its full training config next to it
+    # (utils/checkpoint.py writes <ckpt>.meta.json); prefer it so the
+    # rebuilt policy always matches the stored params
+    meta = {}
+    if args.ckpt and os.path.exists(args.ckpt + ".meta.json"):
+        with open(args.ckpt + ".meta.json") as f:
+            meta = json.load(f)
+
+    env_name = meta.get("env", args.env)
+    env_kwargs = {"stabilization": True} if meta.get("stabilization") else {}
+    env = make_env(env_name, **env_kwargs)
     if args.ckpt:
         import types
 
@@ -146,9 +189,16 @@ def main(argv=None):
         from diff_qp_mpc_tpu.utils.checkpoint import load_checkpoint
 
         targs = types.SimpleNamespace(
-            T=args.T, deq=True, deq_iter=args.deq_iter, hdim=args.hdim,
-            qp_iter=2, deq_out_type=2, layer_type="mlp", solver_type="al",
-            fused=False, policy_out_type=2)
+            T=meta.get("T", args.T), deq=meta.get("deq", True),
+            deq_iter=meta.get("deq_iter", args.deq_iter),
+            hdim=meta.get("hdim", args.hdim),
+            qp_iter=meta.get("qp_iter", 2),
+            deq_out_type=meta.get("deq_out_type", 2),
+            layer_type=meta.get("layer_type", "mlp"),
+            solver_type=meta.get("solver_type", "al"),
+            tracking_r=meta.get("tracking_r"),
+            fused=False,  # scan path: visualization runs on CPU
+            policy_out_type=meta.get("policy_out_type", 2))
         policy = make_policy(targs, env)
         template = policy.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, env.nx), jnp.float32),
@@ -158,14 +208,19 @@ def main(argv=None):
                             seed=args.seed)
     else:
         xs = rollout_mpc(env, steps=args.steps, seed=args.seed)
-    if args.env == "pendulum":
+    subplot_kw = None
+    if env_name == "pendulum":
         render = render_pendulum_frame
-    elif args.env.startswith("cartpole"):
-        lengths = (0.5,) if "1" in args.env else (1.0, 1.0)
+    elif env_name.startswith("cartpole"):
+        lengths = (0.5,) if "1" in env_name else (1.0, 1.0)
         render = lambda ax, x: render_cartpole_frame(ax, x, lengths)
+    elif env_name.startswith(("quadrotor", "rexquad")):
+        trace = xs[:, 0]
+        render = lambda ax, x: render_quadrotor_frame(ax, x, trace=trace)
+        subplot_kw = {"projection": "3d"}
     else:
-        raise NotImplementedError(args.env)
-    save_gif(xs[:, 0], render, args.out)
+        raise NotImplementedError(env_name)
+    save_gif(xs[:, 0], render, args.out, subplot_kw=subplot_kw)
     print(f"wrote {args.out} ({len(xs)} frames); final state {xs[-1, 0]}")
 
 
