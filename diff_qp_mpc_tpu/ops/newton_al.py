@@ -65,8 +65,14 @@ def line_search(cost, dynamics, xu, update, merit, x0, bounds, lam, rho,
                 n_ls: int = 20):
     """Batched 2⁻ᵏ sweep (reference: al_utils.py:503-527).
 
-    Returns (xu_new, merit_new, step_size, status). All n_ls candidates are
-    folded into the batch axis of a single merit evaluation.
+    Returns (xu_new, merit_new, step_size, status). The n_ls candidates are
+    a vmapped leading axis of a single merit evaluation — NOT folded into
+    the batch axis: merging (n_ls, bsz) → (n_ls·bsz,) cannot preserve a
+    batch-axis sharding (the sharded axis becomes the minor factor of the
+    merged dim), so the flattened form forced XLA to all-gather the whole
+    candidate tensor on every Newton step under a batch-sharded mesh.
+    vmap keeps bsz at a fixed axis position and the solve stays
+    collective-free (verified by benchmarks/prof_scaling.py's HLO census).
     """
     bsz, T, n = xu.shape
     nx = x0.shape[-1]
@@ -77,31 +83,14 @@ def line_search(cost, dynamics, xu, update, merit, x0, bounds, lam, rho,
     # pin the initial state (reference: al_utils.py:516)
     cand = cand.at[:, :, 0, :nx].set(jnp.broadcast_to(x0[None], (n_ls, bsz, nx)))
 
-    cand_flat = cand.reshape(n_ls * bsz, T, n)
-    x0_flat = jnp.broadcast_to(x0[None], (n_ls, bsz, nx)).reshape(n_ls * bsz, nx)
-    lam_flat = jax.tree.map(
-        lambda a: jnp.broadcast_to(a[None], (n_ls,) + a.shape).reshape(
-            (n_ls * a.shape[0],) + a.shape[1:]
-        ),
-        lam,
-    )
-    rho_flat = jnp.broadcast_to(rho[None], (n_ls,) + rho.shape).reshape(n_ls * bsz, 1)
-    cost_flat = jax.tree.map(
-        lambda a: jnp.broadcast_to(a[None], (n_ls,) + a.shape).reshape(
-            (n_ls * a.shape[0],) + a.shape[1:]
-        )
-        if a.ndim >= 1 and a.shape[0] == bsz
-        else a,
-        cost,
-    )
-
-    merits = _merit_at(cost_flat, dynamics, cand_flat, x0_flat, bounds,
-                       lam_flat, rho_flat).reshape(n_ls, bsz)
+    merits = jax.vmap(
+        lambda c: _merit_at(cost, dynamics, c, x0, bounds, lam, rho)
+    )(cand)  # [n_ls, bsz]
 
     best = jnp.argmin(merits, axis=0)  # [bsz]
-    bidx = jnp.arange(bsz)
-    merit_best = merits[best, bidx]
-    xu_best = cand[best, bidx]
+    merit_best = jnp.min(merits, axis=0)
+    # batch-aligned gather (batch dim stays dim 1 on both operands)
+    xu_best = jnp.take_along_axis(cand, best[None, :, None, None], axis=0)[0]
     step = steps[best]
 
     improved = (merit_best < merit).astype(dtype)

@@ -69,16 +69,22 @@ def warm_start(lam: Lambdas, rho: Array, cost_start: Array, state: ALState
     mask = hist_cost < cost_start[None]  # [H, bsz]
     idx = jnp.argmax(mask, axis=0)  # first improving entry (0 if none — the
     # most recent entry — matching torch.max-on-bool semantics)
-    bidx = jnp.arange(cost_start.shape[0])
 
-    lam_sel = jax.tree.map(lambda a: a[idx, bidx], hist_lam)
+    def _sel(a):
+        # batch-aligned gather along the history axis ([H, bsz, ...] → [bsz,
+        # ...]); a[idx, arange(bsz)] would pair a sharded index with an iota
+        # and force an all-gather under a batch-sharded mesh
+        idx_e = idx.reshape((1, idx.shape[0]) + (1,) * (a.ndim - 2))
+        return jnp.take_along_axis(a, idx_e, axis=0)[0]
+
+    lam_sel = jax.tree.map(_sel, hist_lam)
     norm_sel = jnp.linalg.norm(lam_sel.flat(), axis=-1)
     norm_cur = jnp.linalg.norm(lam.flat(), axis=-1)
     scale = norm_sel / (norm_cur + 1e-12)
     lam_new = jax.tree.map(
         lambda a: a * scale.reshape((-1,) + (1,) * (a.ndim - 1)), lam
     )
-    rho_new = hist_rho[idx, bidx]
+    rho_new = _sel(hist_rho)
     return lam_new, rho_new
 
 

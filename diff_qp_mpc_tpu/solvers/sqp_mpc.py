@@ -110,27 +110,15 @@ def line_search(dynamics, cost: QuadCost, x, u, dx, du, x0, cost_cur,
     improve, the smallest candidate is taken — matching the reference,
     which exits its decay loop holding the last candidate)."""
     bsz, T, nx = x.shape
-    nu = u.shape[-1]
     alphas = decay ** jnp.arange(max_ls, dtype=x.dtype)  # [L], descending α
     u_cand = u[None] + alphas[:, None, None, None] * du[None]  # [L,bsz,T,nu]
-    u_flat = u_cand.reshape(max_ls * bsz, T, nu)
-    x0_flat = jnp.broadcast_to(x0[None], (max_ls, bsz, nx)).reshape(-1, nx)
-    if isinstance(dynamics, LinDx):
-        dyn_flat = LinDx(
-            F=jnp.broadcast_to(dynamics.F[None], (max_ls,) + dynamics.F.shape
-                               ).reshape((max_ls * bsz,) + dynamics.F.shape[1:]),
-            f=jnp.broadcast_to(dynamics.f[None], (max_ls,) + dynamics.f.shape
-                               ).reshape((max_ls * bsz,) + dynamics.f.shape[1:]),
-        )
-        x_flat = _rollout(dyn_flat, x0_flat, u_flat)
-    else:
-        x_flat = _rollout(dynamics, x0_flat, u_flat)
-    w = jnp.concatenate([x_flat, u_flat], axis=-1)
-    Cb = jnp.broadcast_to(cost.C[None], (max_ls,) + cost.C.shape
-                          ).reshape((max_ls * bsz,) + cost.C.shape[1:])
-    cb = jnp.broadcast_to(cost.c[None], (max_ls,) + cost.c.shape
-                          ).reshape((max_ls * bsz,) + cost.c.shape[1:])
-    costs = almerit.compute_cost(QuadCost(C=Cb, c=cb), w).reshape(max_ls, bsz)
+    # vmap over the candidate axis rather than folding it into the batch
+    # axis: the (L, bsz) → (L·bsz,) reshape cannot preserve a batch-axis
+    # sharding and forces an all-gather per SQP iteration on a sharded mesh
+    # (see ops/newton_al.line_search).
+    x_cand = jax.vmap(lambda uc: _rollout(dynamics, x0, uc))(u_cand)
+    w = jnp.concatenate([x_cand, u_cand], axis=-1)  # [L,bsz,T,nx+nu]
+    costs = jax.vmap(lambda wc: almerit.compute_cost(cost, wc))(w)  # [L,bsz]
 
     improving = costs < cost_cur[None]
     # index of the largest improving α (alphas are descending); if none
@@ -138,10 +126,10 @@ def line_search(dynamics, cost: QuadCost, x, u, dx, du, x0, cost_cur,
     first_improving = jnp.argmax(improving, axis=0)
     any_improving = jnp.any(improving, axis=0)
     idx = jnp.where(any_improving, first_improving, max_ls - 1)
-    bidx = jnp.arange(bsz)
-    x_new = x_flat.reshape(max_ls, bsz, T, nx)[idx, bidx]
-    u_new = u_cand[idx, bidx]
-    return x_new, u_new, alphas[idx], costs[idx, bidx]
+    x_new = jnp.take_along_axis(x_cand, idx[None, :, None, None], axis=0)[0]
+    u_new = jnp.take_along_axis(u_cand, idx[None, :, None, None], axis=0)[0]
+    cost_new = jnp.take_along_axis(costs, idx[None, :], axis=0)[0]
+    return x_new, u_new, alphas[idx], cost_new
 
 
 def _augment_slew(dynamics, dcost: QuadCost, x0, u_init, x_init,
