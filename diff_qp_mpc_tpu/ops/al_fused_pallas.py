@@ -76,24 +76,6 @@ def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
         r_lo = [[u_lo[i] - w[t][nx + i] for i in range(nu)] for t in range(T)]
         return r_dyn, r_hi, r_lo
 
-    def merit(w, rho):
-        r_dyn, r_hi, r_lo = residuals(w)
-        m = zero
-        for t in range(T):
-            for i in range(n):
-                m = m + 0.5 * Cd[t][i] * w[t][i] * w[t][i] + cv[t][i] * w[t][i]
-        for t in range(T - 1):
-            for i in range(nx):
-                m = m + lam_d[t][i] * r_dyn[t][i] \
-                    + 0.5 * rho * r_dyn[t][i] * r_dyn[t][i]
-        for t in range(T):
-            for i in range(nu):
-                ch = jnp.maximum(r_hi[t][i], 0.0)
-                cl = jnp.maximum(r_lo[t][i], 0.0)
-                m = m + lam_h[t][i] * r_hi[t][i] + lam_l[t][i] * r_lo[t][i] \
-                    + 0.5 * rho * (ch * ch + cl * cl)
-        return m
-
     # state pytrees for fori_loop carries: nested TUPLES of tiles
     def tup(nested):
         return tuple(tuple(row) for row in nested)
@@ -212,36 +194,54 @@ def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
         d = tile_bt_factor_solve_fn(D_fn, O_fn, grad, T, n, reg)
         d = tup([[-d[t][i] for i in range(n)] for t in range(T)])
 
-        # ---- line search (fori over candidates) ----
+        # ---- line search (fori over candidates). Two exact savings vs the
+        # naive per-candidate merit:
+        # (1) the quadratic cost term of every candidate w + a·d is a
+        #     polynomial q0 + q1·a + q2·a² in the step size — its
+        #     coefficients are precomputed once per Newton step (T·n·5
+        #     tile-ops per candidate → 4), valid because d[0][:nx] = 0
+        #     exactly (pinned x0 rows/cols + zero gradient in the solve);
+        # (2) the carry holds only (best merit, best step size) — selecting
+        #     a full best_w candidate costs T·n jnp.where tiles per
+        #     candidate; w + a*·d is reconstructed once afterwards. ----
+        q0, q1, q2 = zero, zero, zero
+        for t in range(T):
+            for i in range(n):
+                q0 = q0 + 0.5 * Cd[t][i] * w[t][i] * w[t][i] \
+                    + cv[t][i] * w[t][i]
+                q1 = q1 + (Cd[t][i] * w[t][i] + cv[t][i]) * d[t][i]
+                q2 = q2 + 0.5 * Cd[t][i] * d[t][i] * d[t][i]
+
         def ls_body(k, ls_carry):
-            best_m, best_w = ls_carry
+            best_m, best_a = ls_carry
             a = 2.0 ** (-k.astype(jnp.float32))
             wk = [[w[t][i] + a * d[t][i] for i in range(n)]
                   for t in range(T)]
             for i in range(nx):
                 wk[0][i] = x0[i]
-            mk = _merit(tup(wk), lam_d_t, lam_h_t, lam_l_t, rho)
+            mk = q0 + a * q1 + (a * a) * q2 \
+                + _merit_constraints(wk, lam_d_t, lam_h_t, lam_l_t, rho)
             better = mk < best_m
-            new_w = tuple(tuple(jnp.where(better, wk[t][i], best_w[t][i])
-                                for i in range(n)) for t in range(T))
-            return jnp.where(better, mk, best_m), new_w
+            return jnp.where(better, mk, best_m), jnp.where(better, a, best_a)
 
         big = jnp.full_like(merit_cur, jnp.finfo(jnp.float32).max)
-        best_m, best_w = jax.lax.fori_loop(
-            0, n_ls, ls_body, (big, w_t))
-        improved = best_m < merit_cur
-        w_new = tuple(tuple(jnp.where(improved, best_w[t][i], w_t[t][i])
+        best_m, best_a = jax.lax.fori_loop(
+            0, n_ls, ls_body, (big, jnp.zeros_like(merit_cur)))
+        # accept only if the best candidate strictly improves the merit
+        # (step size 0 reproduces w, pinned x0 included since w[0][:nx]=x0)
+        a_sel = jnp.where(best_m < merit_cur, best_a, 0.0)
+        w_new = tuple(tuple(w[t][i] + a_sel * d[t][i] for i in range(n))
+                      for t in range(T))
+        w_new = tuple(tuple(x0[i] if t == 0 and i < nx else w_new[t][i]
                             for i in range(n)) for t in range(T))
-        merit_new = jnp.where(improved, best_m, merit_cur)
+        merit_new = jnp.minimum(best_m, merit_cur)
         return (w_new, merit_new, lam_d_t, lam_h_t, lam_l_t, rho)
 
-    def _merit(w_t, lam_d_t, lam_h_t, lam_l_t, rho):
-        w = lst(w_t)
+    def _merit_constraints(w, lam_d_t, lam_h_t, lam_l_t, rho):
+        """AL dynamics + bound terms of the merit (everything except the
+        quadratic cost, which the line search evaluates polynomially)."""
         r_dyn, r_hi, r_lo = residuals(w)
         m = zero
-        for t in range(T):
-            for i in range(n):
-                m = m + 0.5 * Cd[t][i] * w[t][i] * w[t][i] + cv[t][i] * w[t][i]
         for t in range(T - 1):
             for i in range(nx):
                 m = m + lam_d_t[t][i] * r_dyn[t][i] \
@@ -253,6 +253,14 @@ def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
                 m = m + lam_h_t[t][i] * r_hi[t][i] \
                     + lam_l_t[t][i] * r_lo[t][i] \
                     + 0.5 * rho * (ch * ch + cl * cl)
+        return m
+
+    def _merit(w_t, lam_d_t, lam_h_t, lam_l_t, rho):
+        w = lst(w_t)
+        m = _merit_constraints(w, lam_d_t, lam_h_t, lam_l_t, rho)
+        for t in range(T):
+            for i in range(n):
+                m = m + 0.5 * Cd[t][i] * w[t][i] * w[t][i] + cv[t][i] * w[t][i]
         return m
 
     def al_body(_, carry):
