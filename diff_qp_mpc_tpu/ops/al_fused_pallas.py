@@ -44,7 +44,7 @@ Array = jnp.ndarray
 
 def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
                al_iter: int, n_newton: int, n_ls: int, rho_factor: float,
-               rho_max: float, reg: float,
+               rho_max: float, reg: float, ls_unroll: bool,
                cd_ref, c_ref, x0_ref, xi_ref, ui_ref,
                w_ref, lamd_ref, lamh_ref, laml_ref, res_ref):
     n = nx + nu
@@ -225,8 +225,18 @@ def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
             return jnp.where(better, mk, best_m), jnp.where(better, a, best_a)
 
         big = jnp.full_like(merit_cur, jnp.finfo(jnp.float32).max)
-        best_m, best_a = jax.lax.fori_loop(
-            0, n_ls, ls_body, (big, jnp.zeros_like(merit_cur)))
+        if ls_unroll:
+            # Unrolled candidate sweep: each candidate's merit evaluation is
+            # independent (only the running min is a serial dependency), so
+            # unrolling lets Mosaic overlap the long-latency transcendentals
+            # of the dynamics evaluations across candidates instead of
+            # serializing them through the fori_loop carry.
+            best_m, best_a = big, jnp.zeros_like(merit_cur)
+            for k in range(n_ls):
+                best_m, best_a = ls_body(jnp.float32(k), (best_m, best_a))
+        else:
+            best_m, best_a = jax.lax.fori_loop(
+                0, n_ls, ls_body, (big, jnp.zeros_like(merit_cur)))
         # accept only if the best candidate strictly improves the merit
         # (step size 0 reproduces w, pinned x0 included since w[0][:nx]=x0)
         a_sel = jnp.where(best_m < merit_cur, best_a, 0.0)
@@ -315,7 +325,8 @@ def fused_al_solve(model, Cd: Array, c: Array, x0: Array, u_lo_arr, u_hi_arr,
                    x_init: Array, u_init: Array,
                    al_iter: int = 2, n_newton: int = 4, n_ls: int = 20,
                    rho_factor: float = 10.0, rho_max: float = 1e4,
-                   reg: float = 1e-5, interpret: bool = False
+                   reg: float = 1e-5, interpret: bool = False,
+                   ls_unroll: bool = False
                    ) -> Tuple[Array, Array, Array, Array, Array]:
     """Whole-solver fused AL-MPC (fresh λ/ρ; explicit x/u warm starts).
 
@@ -327,16 +338,17 @@ def fused_al_solve(model, Cd: Array, c: Array, x0: Array, u_lo_arr, u_hi_arr,
     u_hi = tuple(float(v) for v in np.asarray(u_hi_arr))
     return _fused_al_solve_jit(model, Cd, c, x0, u_lo, u_hi, x_init, u_init,
                                al_iter, n_newton, n_ls, float(rho_factor),
-                               float(rho_max), float(reg), interpret)
+                               float(rho_max), float(reg), interpret,
+                               ls_unroll)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("model", "u_lo", "u_hi", "al_iter", "n_newton", "n_ls",
-                     "rho_factor", "rho_max", "reg", "interpret"))
+                     "rho_factor", "rho_max", "reg", "interpret", "ls_unroll"))
 def _fused_al_solve_jit(model, Cd, c, x0, u_lo, u_hi, x_init, u_init,
                         al_iter, n_newton, n_ls, rho_factor, rho_max, reg,
-                        interpret):
+                        interpret, ls_unroll):
     B, T, n = Cd.shape
     nx = x0.shape[-1]
     nu = n - nx
@@ -364,7 +376,8 @@ def _fused_al_solve_jit(model, Cd, c, x0, u_lo, u_hi, x_init, u_init,
 
     kernel = functools.partial(
         _al_kernel, model, T, nx, nu, u_lo, u_hi,
-        al_iter, n_newton, n_ls, float(rho_factor), float(rho_max), float(reg))
+        al_iter, n_newton, n_ls, float(rho_factor), float(rho_max),
+        float(reg), ls_unroll)
 
     w, lamd, lamh, laml, res = pl.pallas_call(
         kernel,

@@ -53,6 +53,32 @@ def test_fused_matches_scan_pendulum():
     _compare(Pendulum())
 
 
+def test_fused_ls_unroll_matches_fori():
+    """The unrolled line-search sweep (ls_unroll=True, the TPU-throughput
+    scheduling variant) is bitwise-equivalent to the fori_loop sweep."""
+    model = Pendulum()
+    B, T = 16, 3
+    nx, nu = model.nx, model.nu
+    n = nx + nu
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.uniform(-1.0, 1.0, (B, nx)), jnp.float32)
+    Cd = jnp.broadcast_to(jnp.asarray([10.0, 0.1, 0.001], jnp.float32),
+                          (B, T, n))
+    c = jnp.asarray(rng.uniform(-0.1, 0.1, (B, T, n)), jnp.float32)
+    u_lo = jnp.full((nu,), -3.0, jnp.float32)
+    u_hi = jnp.full((nu,), 3.0, jnp.float32)
+    u_init = jnp.zeros((B, T, nu), jnp.float32)
+    x_init = model.rollout(x0, u_init)
+    kw = dict(al_iter=1, n_newton=2, n_ls=20, rho_max=1e4, reg=1e-5,
+              interpret=True)
+    w1, *_, r1 = fused_al_solve(model, Cd, c, x0, u_lo, u_hi, x_init,
+                                u_init, **kw)
+    w2, *_, r2 = fused_al_solve(model, Cd, c, x0, u_lo, u_hi, x_init,
+                                u_init, ls_unroll=True, **kw)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
 def test_fused_matches_scan_integrator():
     _compare(Integrator(nx=2, nu=1, dt=0.1))
 
