@@ -112,3 +112,38 @@ def sample_window_batch(data: Dict[str, Array], bsz: int, T: int,
     # cumulative product: once masked, stay masked (datagen.py:404-405)
     out["mask"] = np.cumprod(out["mask"], axis=1)
     return out
+
+
+def unwrap_window_angles(states: Array, mode: str) -> Array:
+    """Phase-align wrapped angle coordinates along a sampled window.
+
+    The reference's expert pickles store env-wrapped angles; its train loop
+    re-aligns every sampled window so each trajectory lives in one winding
+    (utils.unnormalize_states_pendulum:256-271 and
+    unnormalize_states_cartpole_nlink:274-287, applied in train.py:141-146).
+    Our own datasets are generated unwrapped, so this is a no-op on them —
+    required only when consuming the reference's data/*.pkl files.
+
+    states: [bsz, T, nx] numpy window batch.
+    mode: "pendulum" (single angle at coord 0, offenders shifted by
+    -sign(theta_t)*2pi, the reference's exact rule) or "cartpole" (angles at
+    coords 1..nq_pos-1, shifted toward the previous angle; the reference's
+    slice 1:nx//2+1 also sweeps in the cart velocity — an off-by-one we do
+    not reproduce).
+    """
+    s = np.array(states, copy=True)
+    if mode == "pendulum":
+        cols = [0]
+        sign = lambda cur, prev: np.sign(cur)
+    elif mode == "cartpole":
+        cols = list(range(1, s.shape[2] // 2))
+        sign = lambda cur, prev: np.sign(cur - prev)
+    else:
+        raise ValueError(f"unknown unwrap mode {mode!r}")
+    prev = s[:, 0, cols]
+    for t in range(s.shape[1]):
+        cur = s[:, t, cols]
+        jump = np.abs(cur - prev) > np.pi / 2
+        s[:, t, cols] = np.where(jump, cur - sign(cur, prev) * 2 * np.pi, cur)
+        prev = s[:, t, cols]
+    return s

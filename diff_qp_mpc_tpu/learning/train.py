@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
                         " perturbed states back onto the expert trajectory."
                         " Distinct from --data_noise_* (reference noisy-"
                         "DATA experiments, which corrupt the targets too)")
+    p.add_argument("--unwrap_angles", type=str, default="none",
+                   choices=["none", "pendulum", "cartpole"],
+                   help="phase-align wrapped angles in each sampled window "
+                        "(needed for the reference's expert pickles; "
+                        "reference train.py:141-146)")
     p.add_argument("--data", type=str, default=None,
                    help="expert pickle path (default: data/expert_traj_*)")
     p.add_argument("--expert_type", type=str, default="mpc")
@@ -252,6 +257,9 @@ def main(argv=None):
     float_dt = jnp.float64 if args.x64 else jnp.float32
     for i in range(args.iters):
         batch = data_mod.sample_window_batch(dataset, args.bsz, args.T, rng)
+        if args.unwrap_angles != "none":
+            batch["state"] = data_mod.unwrap_window_angles(
+                batch["state"], args.unwrap_angles)
         batch = {k: jnp.asarray(v).astype(float_dt)
                  if np.issubdtype(np.asarray(v).dtype, np.floating)
                  else jnp.asarray(v) for k, v in batch.items()}
