@@ -31,7 +31,7 @@ def load_ours(path):
     for line in open(path):
         d = json.loads(line)
         rows.setdefault(d["step"], {}).update(d)
-    return [dict(step=k, **v) for k, v in sorted(rows.items())]
+    return [{**v, "step": k} for k, v in sorted(rows.items())]
 
 
 def main():

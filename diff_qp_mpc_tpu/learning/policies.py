@@ -116,6 +116,21 @@ class DEQMPCPolicy(nn.Module):
     deq_iter: int = 6
     out_type: int = 2  # DEQ layer output type (state estimate + prediction)
     layer_type: str = "mlp"  # "mlp" | "conv" (reference gcn)
+    # Warm-start semantics across the deq_iter loop:
+    # "solution"  — reference-exact (policies.py:647-667): the tracker is
+    #               seeded from the DEQ proposal only on the FIRST iterate;
+    #               afterwards it warm-starts from its own previous
+    #               solution and feels the new proposal through the
+    #               tracking cost only. Successive solves refine one
+    #               trajectory → lower final loss at loose AL budgets.
+    # "proposal"  — re-seed x_init from the fresh DEQ proposal every
+    #               iterate (this repo's original behavior; a harder
+    #               projection each iterate, more aggressive but less
+    #               stable at loose budgets). Default, for compatibility
+    #               with checkpoints trained before ws_mode existed (their
+    #               meta.json carries no ws_mode; eval must reproduce the
+    #               iteration operator they were trained with).
+    ws_mode: str = "proposal"
 
     @nn.compact
     def __call__(self, x: Array, qp_solve: bool = True,
@@ -132,19 +147,35 @@ class DEQMPCPolicy(nn.Module):
 
         iterates = []
         x_ref = None
-        for _ in range(self.deq_iter):
+        x_ws = None  # previous-solution warm start ("solution" mode)
+        u_ws = actions
+        for it_i in range(self.deq_iter):
             x_ref, z = layer(x, x_ref_flat, z)
             if self.out_type == 1:
                 x_ref = jnp.concatenate([x[:, None], x_ref], axis=1)
             net_states = x_ref
             states, acts = net_states, actions
             if qp_solve:
+                if self.ws_mode == "solution" and it_i > 0:
+                    # reference semantics: warm-start from the previous
+                    # solution (carried in al_state for the scan path,
+                    # explicit x_ws/u_ws for the stateless fused path)
+                    xi, ui = (x_ws, u_ws) if self.tracking.use_fused \
+                        else (None, None)
+                    u_cost_ref = jnp.zeros_like(actions) \
+                        if self.out_type == 1 else actions
+                else:
+                    xi, ui = x_ref, actions
+                    u_cost_ref = jnp.zeros_like(actions) \
+                        if (self.ws_mode == "solution"
+                            and self.out_type == 1) else actions
                 states, acts, al_state, _ = self.tracking.solve(
-                    x, x_ref, actions, al_state,
-                    x_init=x_ref, u_init=actions)
+                    x, x_ref, u_cost_ref, al_state, x_init=xi, u_init=ui)
             iterates.append(DEQMPCRollout(net_states=net_states,
                                           states=states, actions=acts))
             actions = jax.lax.stop_gradient(acts)
+            x_ws = jax.lax.stop_gradient(states)
+            u_ws = actions
             # solution feeds the next equilibrium iteration, detached
             # (policies.py:517-518)
             x_ref_flat = jax.lax.stop_gradient(states).reshape(bsz, -1)

@@ -96,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
                         " perturbed states back onto the expert trajectory."
                         " Distinct from --data_noise_* (reference noisy-"
                         "DATA experiments, which corrupt the targets too)")
+    p.add_argument("--ws_mode", type=str, default="proposal",
+                   choices=["proposal", "solution"],
+                   help="tracking warm-start across DEQ iterations: "
+                        "'solution' = reference-exact (policies.py:647-667,"
+                        " tracker refines its previous solution), "
+                        "'proposal' = re-seed from each DEQ proposal "
+                        "(pre-ws_mode checkpoints)")
     p.add_argument("--unwrap_angles", type=str, default="none",
                    choices=["none", "pendulum", "cartpole"],
                    help="phase-align wrapped angles in each sampled window "
@@ -147,6 +154,7 @@ def make_policy(args, env):
             nx=env.nx, nu=env.nu, nq=env.nq, T=args.T, hdim=args.hdim,
             dt=env.dt, tracking=tracking, deq_iter=args.deq_iter,
             out_type=args.deq_out_type, layer_type=args.layer_type,
+            ws_mode=getattr(args, "ws_mode", "proposal"),
         )
     return NNPolicy(nx=env.nx, nu=env.nu, nq=env.nq, T=args.T,
                     hdim=args.hdim, dt=env.dt, out_type=args.policy_out_type)
