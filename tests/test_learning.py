@@ -122,7 +122,8 @@ def test_deq_policy_forward_and_grad():
 # --------------------------------------------------------------------------
 
 
-def make_deqmpc(T=5, deq_iter=2, hdim=16, solver_type="al"):
+def make_deqmpc(T=5, deq_iter=2, hdim=16, solver_type="al",
+                ws_mode="proposal"):
     env = IntegratorEnv()
     tracking = TrackingMPC(
         model=env.model, T=T,
@@ -134,7 +135,8 @@ def make_deqmpc(T=5, deq_iter=2, hdim=16, solver_type="al"):
         solver_type=solver_type,
     )
     pol = DEQMPCPolicy(nx=2, nu=1, nq=1, T=T, hdim=hdim, dt=env.model.dt,
-                       tracking=tracking, deq_iter=deq_iter, out_type=2)
+                       tracking=tracking, deq_iter=deq_iter, out_type=2,
+                       ws_mode=ws_mode)
     return env, pol
 
 
@@ -229,3 +231,23 @@ def test_deq_conv_layer_variant():
     assert z2.shape == (2, 5, 16)
     g = jax.grad(lambda p: jnp.sum(layer.apply(p, x, traj, z)[0] ** 2))(params)
     assert float(optax.global_norm(g)) > 0
+
+
+def test_deqmpc_ws_mode_solution():
+    """Reference-exact warm-start semantics (policies.py:647-667 in the
+    reference): in 'solution' mode the tracker refines its previous
+    solution across DEQ iterations. Must run, be finite, differ from
+    'proposal' mode after the first iterate, and leave the first iterate
+    identical (both modes seed it from the proposal)."""
+    env, pol_prop = make_deqmpc(deq_iter=3)
+    _, pol_sol = make_deqmpc(deq_iter=3, ws_mode="solution")
+    x = jnp.asarray(np.random.RandomState(0).uniform(-1, 1, (4, 2)),
+                    jnp.float32)
+    params = pol_prop.init(jax.random.PRNGKey(0), x, qp_solve=False)
+    it_p, res_p = pol_prop.apply(params, x, qp_solve=True)
+    it_s, res_s = pol_sol.apply(params, x, qp_solve=True)
+    assert np.isfinite(float(res_s))
+    np.testing.assert_allclose(np.asarray(it_p[0].states),
+                               np.asarray(it_s[0].states), atol=1e-6)
+    assert not np.allclose(np.asarray(it_p[-1].states),
+                           np.asarray(it_s[-1].states), atol=1e-6)
