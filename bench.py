@@ -37,8 +37,38 @@ def _pendulum_problem_np(bsz, seed=0):
     return np.concatenate(x0, axis=1)
 
 
+def _tpu_backend_alive(timeout_s=420):
+    """Probe the axon TPU backend in a SUBPROCESS with a timeout.
+
+    Backend init hangs for ~18 min when the axon tunnel is down (observed
+    2026-08-18); probing in-process would hang the whole benchmark. If the
+    probe fails, measure on CPU instead and label the JSON accordingly —
+    a clearly-marked CPU number beats a driver timeout with no output.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "assert jax.devices()[0].platform != 'cpu';"
+             "jnp.zeros(8).block_until_ready()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def measure_ours():
-    import jax
+    if not _tpu_backend_alive():
+        print("# TPU backend unavailable; falling back to CPU",
+              file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
 
     # persistent compilation cache: TPU compiles are minutes each through
     # the remote-compile tunnel; cache them across processes/rounds
@@ -84,6 +114,25 @@ def measure_ours():
             best = {"solves_per_s": sps, "bsz": bsz, "ms_per_batch": per * 1e3,
                     "dyn_res": float(jnp.mean(res))}
     # ---- fused whole-solver kernel (ops/al_fused_pallas) ----
+    # (TPU only: Pallas compiles are Mosaic programs; on the CPU fallback
+    # report the scan path alone)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if on_cpu:
+        best.setdefault("path", "scan+pallas_kkt (CPU fallback)")
+        best["scan_path_solves_per_s"] = round(sps, 1)
+        best["platform"] = "cpu"
+        best["device"] = str(jax.devices()[0])
+        bszc = 256
+        cfg_acc = al_mpc.ALConfig(al_iter=8, n_newton=4, n_ls=20,
+                                  rho_max=1e6, reg=1e-6)
+        x0 = jnp.asarray(_pendulum_problem_np(bszc), jnp.float32)
+        Cd = jnp.broadcast_to(Cd_row, (bszc, T, n))
+        cost = dq.DiagQuadCost(Cd=Cd, c=jnp.zeros((bszc, T, n), jnp.float32))
+        state0 = dq.ALState.init(bszc, T, nx, nu, dtype=jnp.float32)
+        _, u_acc, _, _ = al_mpc.solve(model, cost, x0, bounds, state0,
+                                      cfg_acc)
+        return best, np.asarray(u_acc, np.float64)
+
     from diff_qp_mpc_tpu.ops.al_fused_pallas import fused_al_solve
 
     bszf = FUSED_BSZ
