@@ -159,18 +159,17 @@ class DEQMPCPolicy(nn.Module):
                 if self.ws_mode == "solution" and it_i > 0:
                     # reference semantics: warm-start from the previous
                     # solution (carried in al_state for the scan path,
-                    # explicit x_ws/u_ws for the stateless fused path)
+                    # explicit x_ws/u_ws for the stateless fused path).
+                    # The cost's u_ref is ALSO the previous solution's
+                    # actions (reference u_ref_tr = nominal_actions,
+                    # policies.py:497,509) — zeros only before the first
+                    # solve.
                     xi, ui = (x_ws, u_ws) if self.tracking.use_fused \
                         else (None, None)
-                    u_cost_ref = jnp.zeros_like(actions) \
-                        if self.out_type == 1 else actions
                 else:
                     xi, ui = x_ref, actions
-                    u_cost_ref = jnp.zeros_like(actions) \
-                        if (self.ws_mode == "solution"
-                            and self.out_type == 1) else actions
                 states, acts, al_state, _ = self.tracking.solve(
-                    x, x_ref, u_cost_ref, al_state, x_init=xi, u_init=ui)
+                    x, x_ref, actions, al_state, x_init=xi, u_init=ui)
             iterates.append(DEQMPCRollout(net_states=net_states,
                                           states=states, actions=acts))
             actions = jax.lax.stop_gradient(acts)
