@@ -57,6 +57,19 @@ EXPERT_PLANNER = {
                             qp_iter=5, u_goal="hover"),
 }
 
+# Per-dim half-widths of the capture-corridor initial-state box around
+# env.goal (--capture): poles near upright at the approach velocities a
+# swing-up actually arrives with. The stabilize envs' reset boxes scale
+# all dims uniformly (init_scale), which cannot express "small angle,
+# large angular rate" — but that corner is exactly where closed-loop
+# swing-up policies fail (they pass through upright at speed and never
+# lock in; RESULTS.md cartpole-1L diagnostics).
+CAPTURE_BOX = {
+    "Pendulum": (0.5, 2.0),
+    "Cartpole1l": (1.0, 0.4, 2.0, 3.0),
+    "Cartpole2l": (0.8, 0.3, 0.3, 1.5, 2.0, 2.0),
+}
+
 
 def mpc_expert_rollouts(env, num_traj: int, T: int = 30, max_steps: int = 200,
                         seed: int = 0, qp_iter: int = 5,
@@ -79,10 +92,13 @@ def mpc_expert_rollouts(env, num_traj: int, T: int = 30, max_steps: int = 200,
     planner = EXPERT_PLANNER.get(env.spec_id, {})
     T = planner.get("T", T)
     qp_iter = planner.get("qp_iter", qp_iter)
-    if init_states is not None:  # DAgger relabeling: expert from the
-        num_traj = len(init_states)  # policy's own visited states
-        success_filter = False
-    bsz = 2 * num_traj if success_filter else num_traj
+    if init_states is not None:  # DAgger relabeling / capture-corridor
+        # sampling: expert from externally chosen states. With
+        # success_filter the caller passes 2x the states it wants kept.
+        bsz = len(init_states)
+        num_traj = bsz // 2 if success_filter else bsz
+    else:
+        bsz = 2 * num_traj if success_filter else num_traj
     n = nx + nu
     Q = jnp.asarray(planner.get("Q", env.Qlqr), jnp.float64)
     R = jnp.asarray(planner.get("R", env.Rlqr), jnp.float64)
@@ -177,6 +193,17 @@ def main(argv=None):
     p.add_argument("--sac_iters", type=int, default=40000)
     p.add_argument("--success_filter", action="store_true",
                    help="roll 2x the batch and keep goal-reaching trajs")
+    p.add_argument("--capture", action="store_true",
+                   help="sample initial states from a per-dim CAPTURE"
+                        " corridor around the goal (poles near upright at"
+                        " real approach velocities) instead of the env's"
+                        " reset box, and run the stabilize MPC expert —"
+                        " teaches the lock-in that swing-up data lacks"
+                        " (closed-loop failures limit-cycle through upright"
+                        " without holding; see RESULTS.md cartpole-1L)")
+    p.add_argument("--capture_box", type=str, default=None,
+                   help="comma-separated per-dim half-widths of the capture"
+                        " box around env.goal (default: per-env table)")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -208,12 +235,26 @@ def main(argv=None):
                            seed=args.seed)
         trajs = sac_expert_rollouts(env, act, args.num_traj,
                                     args.max_steps, args.seed)
+    elif args.capture:
+        if args.capture_box is not None:
+            box = np.array([float(v) for v in args.capture_box.split(",")])
+        else:
+            box = np.asarray(CAPTURE_BOX[env.spec_id.split("-v0")[0]])
+        goal = np.asarray(env.goal)
+        n_init = 2 * args.num_traj if args.success_filter else args.num_traj
+        rng = np.random.RandomState(args.seed)
+        init = goal + rng.uniform(-box, box, size=(n_init, env.nx))
+        trajs = mpc_expert_rollouts(env, args.num_traj, args.T,
+                                    args.max_steps, args.seed, args.qp_iter,
+                                    success_filter=args.success_filter,
+                                    init_states=init)
     else:
         trajs = mpc_expert_rollouts(env, args.num_traj, args.T,
                                     args.max_steps, args.seed, args.qp_iter,
                                     success_filter=args.success_filter)
+    suffix = "-capture" if args.capture else ""
     out = args.out or os.path.join(
-        "data", f"expert_traj_{args.expert}-{env.spec_id}_new.pkl")
+        "data", f"expert_traj_{args.expert}-{env.spec_id}{suffix}_new.pkl")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     save_expert_pickle(out, trajs)
     lens = [len(t) for t in trajs]

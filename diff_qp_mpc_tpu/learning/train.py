@@ -218,6 +218,14 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    if args.fused and jax.default_backend() == "cpu" and not args.platform:
+        # the axon TPU tunnel initializes lazily and can drop mid-session;
+        # when it does, jax silently falls back to CPU and the fused Pallas
+        # training step runs ~100x slow. Pin with --platform axon to make
+        # that a hard error instead of a 2.7 s/step surprise.
+        print("WARNING: --fused requested but jax resolved to the CPU "
+              "backend (TPU tunnel down?); training will be very slow. "
+              "Pass --platform axon to fail fast instead.", flush=True)
     env_kwargs = ({'stabilization': True}
                   if getattr(args, 'stabilization', False) else {})
     env = make_env(args.env, **env_kwargs)
