@@ -277,29 +277,63 @@ def measure_reference(bsz=None, n_rep=3):
     return {"solves_per_s": best_sps}, u_ref
 
 
-def main():
-    ours, u_ours = measure_ours()
+# Idle-machine reference measurement recorded in BENCH_r01.json (2026-08-17):
+# torch qpth AL_mpc, pendulum T=5, float64 CPU, best over bsz ∈ {64, 256}.
+# Any cached or fresh baseline that disagrees with this by >2× was taken on a
+# loaded machine (round-2's cache read 319.9 because training jobs were
+# saturating the CPU) and must not set the headline ratio.
+IDLE_REF_SPS = 2680.7
+STALE_FACTOR = 2.0
 
+
+def _load_baseline():
+    """Return (ref_sps, u_ref, source) with stale-cache protection.
+
+    A cache entry is trusted only if it agrees with the recorded
+    idle-machine measurement within STALE_FACTOR; otherwise it is
+    re-measured. A fresh measurement is cached only when it both passes
+    the same sanity check and was taken at low CPU load — so a run on a
+    busy machine can never poison the cache for later rounds.
+    """
+    cache = None
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cache = json.load(f)
-        ref_sps = cache["ref_solves_per_s"]
-        u_ref = np.asarray(cache["u_ref"])
-        baseline_source = "cached"
-    else:
-        try:
-            ref, u_ref = measure_reference()
-            ref_sps = ref["solves_per_s"]
+        sps = cache["ref_solves_per_s"]
+        if IDLE_REF_SPS / STALE_FACTOR <= sps <= IDLE_REF_SPS * STALE_FACTOR:
+            return sps, np.asarray(cache["u_ref"]), "cached"
+        print(f"# cached baseline {sps:.1f} solves/s disagrees >{STALE_FACTOR}x "
+              f"with the idle-machine record {IDLE_REF_SPS}; re-measuring",
+              file=sys.stderr)
+
+    try:
+        load1 = os.getloadavg()[0]
+        ref, u_ref = measure_reference()
+        ref_sps = ref["solves_per_s"]
+        sane = (IDLE_REF_SPS / STALE_FACTOR <= ref_sps
+                <= IDLE_REF_SPS * STALE_FACTOR)
+        if sane and load1 < 4.0:
             with open(CACHE, "w") as f:
                 json.dump({"ref_solves_per_s": ref_sps,
-                           "u_ref": u_ref.tolist()}, f)
-            baseline_source = "measured"
-        except Exception as e:  # reference repo/toolchain unavailable
-            print(f"# baseline measurement failed ({e!r}); using the "
-                  "idle-machine measurement from 2026-08-17", file=sys.stderr)
-            ref_sps = 2680.7
-            u_ref = None
-            baseline_source = "fallback"
+                           "u_ref": u_ref.tolist(),
+                           "loadavg1_at_measure": load1}, f)
+            return ref_sps, u_ref, "measured"
+        # Loaded machine or implausible number: use the fresh u_ref for the
+        # accuracy row but pin the throughput ratio to the idle record.
+        print(f"# fresh baseline {ref_sps:.1f} solves/s at loadavg {load1:.1f}"
+              " not cached; using idle-machine record for the ratio",
+              file=sys.stderr)
+        return IDLE_REF_SPS, u_ref, "idle_record (fresh measure rejected)"
+    except Exception as e:  # reference repo/toolchain unavailable
+        print(f"# baseline measurement failed ({e!r}); using the "
+              "idle-machine measurement from 2026-08-17", file=sys.stderr)
+        u_ref = np.asarray(cache["u_ref"]) if cache else None
+        return IDLE_REF_SPS, u_ref, "fallback"
+
+
+def main():
+    ours, u_ours = measure_ours()
+    ref_sps, u_ref, baseline_source = _load_baseline()
 
     if u_ref is not None:
         b = u_ours.shape[0]

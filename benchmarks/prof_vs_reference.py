@@ -181,8 +181,8 @@ def measure_ours(robot, ref):
     model = Cartpole1L() if robot == "cartpole1l" else RexQuadrotor()
 
     # dynamics cross-check on the reference's probe points
-    f_ours = model.step(jnp.asarray(ref["probe_x"], jnp.float32),
-                        jnp.asarray(ref["probe_u"], jnp.float32))
+    f_ours = model(jnp.asarray(ref["probe_x"], jnp.float32),
+                   jnp.asarray(ref["probe_u"], jnp.float32))
     dyn_err = float(np.max(np.abs(np.asarray(f_ours) - ref["probe_f"])))
 
     Cd_row = jnp.asarray(s["Cd"], jnp.float32)

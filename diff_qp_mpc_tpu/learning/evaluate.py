@@ -113,9 +113,18 @@ def main(argv=None):
         # CPU eval of a fused-trained checkpoint must use the scan path)
         for k in ("env", "deq", "deq_iter", "T", "hdim", "qp_iter",
                   "deq_out_type", "policy_out_type", "layer_type",
-                  "solver_type", "tracking_r", "stabilization"):
+                  "solver_type", "tracking_r", "stabilization", "ws_mode",
+                  "solver_carry"):
             if k in meta and k not in provided and hasattr(args, k):
                 setattr(args, k, meta[k])
+        # Warm-start-carry semantics must follow the TRAINING operator, not
+        # the eval-time kernel choice: pre-solver_carry checkpoints were
+        # trained with the legacy per-path defaults (fused = fresh λ/ρ,
+        # scan = carried), so map that to an explicit on/off for whichever
+        # kernel evaluates them (round-2 verdict: cross-path evals drifted
+        # 1.00→0.84 because 'auto' re-inferred carry from the EVAL path).
+        if "solver_carry" not in meta and "solver_carry" not in provided:
+            args.solver_carry = "off" if meta.get("fused") else "on"
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.x64:

@@ -49,9 +49,23 @@ class TrackingMPC:
     solver_type: str = "al"  # "al" | "ip"
     sqp_cfg: sqp_mpc.SQPConfig = sqp_mpc.SQPConfig(qp_iter=2)
     # route solves through the fused whole-solver Pallas kernel
-    # (ops/al_fused_pallas; fresh-lambda semantics — exactly what this
-    # reinitialized-per-forward training path uses)
+    # (ops/al_fused_pallas)
     use_fused: bool = False
+    # Warm-start-state carry across successive solves (λ/ρ/history in
+    # ALState). None = legacy inference (scan carried, fused fresh — the
+    # pre-round-3 per-path defaults, kept so old checkpoints reproduce
+    # their training operator). Explicit True/False applies to BOTH
+    # kernels, making the solver path a pure performance choice: a
+    # checkpoint trained on either path evals identically on the other
+    # (fused carry uses al_mpc.solve_fused_stateful; scan fresh passes a
+    # reinitialized ALState per solve).
+    carry_state: bool = None
+
+    @property
+    def carry(self) -> bool:
+        if self.carry_state is None:
+            return not self.use_fused
+        return self.carry_state
 
     def bounds(self, dtype=jnp.float32) -> Bounds:
         return Bounds(u_lo=jnp.asarray(self.u_lo, dtype),
@@ -79,13 +93,23 @@ class TrackingMPC:
                 x_init=x_init, cfg=self.sqp_cfg, differentiable=True)
             return res.x, res.u, state, res.qp_resid
         if self.use_fused:
-            # pass the STATIC python-tuple bounds (solve_fused needs
+            # pass the STATIC python-tuple bounds (the fused kernels need
             # compile-time constants; jnp arrays become tracers here)
+            if self.carry:
+                x, u, new_state, stats = al_mpc.solve_fused_stateful(
+                    self.model, cost, x0,
+                    Bounds(u_lo=self.u_lo, u_hi=self.u_hi), state, self.cfg,
+                    x_init=x_init, u_init=u_init)
+                return x, u, new_state, stats
             x, u, res = al_mpc.solve_fused(
                 self.model, cost, x0,
                 Bounds(u_lo=self.u_lo, u_hi=self.u_hi), self.cfg,
                 x_init=x_init, u_init=u_init)
             return x, u, state, res
+        if not self.carry:
+            # fresh-state scan solve: reproduces the fused fresh-λ operator
+            # exactly (explicit x/u inits, reinitialized λ/ρ per call)
+            state = self.init_state(x0.shape[0], x0.dtype)
         x, u, new_state, stats = al_mpc.solve(
             self.model, cost, x0, self.bounds(x0.dtype), state, self.cfg,
             x_init=x_init, u_init=u_init)
@@ -158,14 +182,14 @@ class DEQMPCPolicy(nn.Module):
             if qp_solve:
                 if self.ws_mode == "solution" and it_i > 0:
                     # reference semantics: warm-start from the previous
-                    # solution (carried in al_state for the scan path,
-                    # explicit x_ws/u_ws for the stateless fused path).
+                    # solution (carried in al_state when the tracker
+                    # carries state, explicit x_ws/u_ws when stateless).
                     # The cost's u_ref is ALSO the previous solution's
                     # actions (reference u_ref_tr = nominal_actions,
                     # policies.py:497,509) — zeros only before the first
                     # solve.
-                    xi, ui = (x_ws, u_ws) if self.tracking.use_fused \
-                        else (None, None)
+                    xi, ui = (None, None) if self.tracking.carry \
+                        else (x_ws, u_ws)
                 else:
                     xi, ui = x_ref, actions
                 states, acts, al_state, _ = self.tracking.solve(

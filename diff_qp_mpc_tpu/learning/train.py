@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused", action="store_true",
                    help="use the fused whole-solver Pallas kernel for the "
                         "tracking MPC (TPU; elementwise-step models)")
+    p.add_argument("--solver_carry", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="carry AL warm-start state (λ/ρ/history) across "
+                        "successive tracking solves. 'auto' = legacy "
+                        "per-path default (scan carried, fused fresh); "
+                        "'on'/'off' apply to BOTH kernel paths so a "
+                        "checkpoint evals identically on either")
     p.add_argument("--policy_out_type", type=int, default=1)
     p.add_argument("--data_noise_type", type=int, default=0)
     p.add_argument("--data_noise_std", type=float, default=0.0)
@@ -148,6 +155,8 @@ def make_policy(args, env):
         solver_type=solver_type,
         sqp_cfg=SQPConfig(qp_iter=args.qp_iter),
         use_fused=getattr(args, 'fused', False),
+        carry_state={"auto": None, "on": True, "off": False}[
+            getattr(args, 'solver_carry', 'auto')],
     )
     if args.deq:
         return DEQMPCPolicy(

@@ -10,6 +10,7 @@ physical parameters, act_scale = 100.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -82,8 +83,10 @@ class RexQuadrotor(DynamicsModel):
         rdot = quat_rotate(q, v)
         mdot = mrp_kinematics(m, w)
         vdot = F / self.m - jnp.cross(w, v)
-        Jw = jnp.einsum("ij,...j->...i", self._J, w)
-        wdot = jnp.einsum("ij,...j->...i", self._Jinv, tau - jnp.cross(w, Jw))
+        Jw = jnp.einsum("ij,...j->...i", self._J, w,
+                        precision=jax.lax.Precision.HIGHEST)
+        wdot = jnp.einsum("ij,...j->...i", self._Jinv, tau - jnp.cross(w, Jw),
+                          precision=jax.lax.Precision.HIGHEST)
         return jnp.concatenate([rdot, mdot, vdot, wdot], axis=-1)
 
     def step(self, x: Array, u: Array) -> Array:

@@ -8,6 +8,7 @@ kinematics). Quaternions are scalar-first (w, x, y, z).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -54,7 +55,8 @@ def mrp_kinematics(p: Array, w: Array) -> Array:
     A2 = jnp.stack([2 * (p1 * p0 + p2), 1 - p0**2 + p1**2 - p2**2, 2 * (p1 * p2 - p0)], -1)
     A3 = jnp.stack([2 * (p2 * p0 - p1), 2 * (p2 * p1 + p0), 1 - p0**2 - p1**2 + p2**2], -1)
     A = jnp.stack([A1, A2, A3], axis=-2)
-    return 0.25 * jnp.einsum("...ij,...j->...i", A, w)
+    return 0.25 * jnp.einsum("...ij,...j->...i", A, w,
+                              precision=jax.lax.Precision.HIGHEST)
 
 
 def euler_to_quat(roll: Array, pitch: Array, yaw: Array) -> Array:

@@ -18,8 +18,11 @@ width, blowing VMEM (observed 39 MB vs the 16 MB budget). Jacobians come
 from nx+nu ``jax.jvp`` evaluations of step_parts inside the kernel —
 exact, no finite differences.
 
-Semantics match solvers.al_mpc with a fresh ALState (the DEQ-MPC training
-configuration: reinitialized λ/ρ each call, explicit x/u warm starts).
+Semantics match solvers.al_mpc: λ/ρ enter as warm-start inputs (zeros/ones
+= the fresh-ALState DEQ-MPC training configuration; pass the carried
+multipliers for receding-horizon / solution-warm-start use — see
+solvers.al_mpc.solve_fused_stateful, which reproduces the scan path's full
+ALState carry by driving this kernel one AL iteration at a time).
 """
 from __future__ import annotations
 
@@ -46,6 +49,7 @@ def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
                al_iter: int, n_newton: int, n_ls: int, rho_factor: float,
                rho_max: float, reg: float, ls_unroll: bool,
                cd_ref, c_ref, x0_ref, xi_ref, ui_ref,
+               lamdi_ref, lamhi_ref, lamli_ref, rhoi_ref,
                w_ref, lamd_ref, lamh_ref, laml_ref, res_ref):
     n = nx + nu
 
@@ -58,10 +62,14 @@ def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
         w[0][i] = x0[i]  # pin x0
 
     zero = x0[0] * 0.0
-    lam_d = [[zero for _ in range(nx)] for _ in range(T - 1)]
-    lam_h = [[zero for _ in range(nu)] for _ in range(T)]
-    lam_l = [[zero for _ in range(nu)] for _ in range(T)]
-    rho = zero + 1.0
+    # warm-start carry: λ/ρ arrive as inputs (zeros/ones = fresh-state
+    # semantics, the original fixed initialization). This is the fused
+    # analog of the scan path's ALState carry (solvers/al_mpc.py,
+    # reference AL_mpc.py:250-252,314-318).
+    lam_d = [[lamdi_ref[0, t, i] for i in range(nx)] for t in range(T - 1)]
+    lam_h = [[lamhi_ref[0, t, i] for i in range(nu)] for t in range(T)]
+    lam_l = [[lamli_ref[0, t, i] for i in range(nu)] for t in range(T)]
+    rho = rhoi_ref[0, 0]
 
     Cd = [[cd_ref[0, t, i] for i in range(n)] for t in range(T)]
     cv = [[c_ref[0, t, i] for i in range(n)] for t in range(T)]
@@ -238,13 +246,21 @@ def _al_kernel(model, T: int, nx: int, nu: int, u_lo, u_hi,
             best_m, best_a = jax.lax.fori_loop(
                 0, n_ls, ls_body, (big, jnp.zeros_like(merit_cur)))
         # accept only if the best candidate strictly improves the merit
-        # (step size 0 reproduces w, pinned x0 included since w[0][:nx]=x0)
-        a_sel = jnp.where(best_m < merit_cur, best_a, 0.0)
-        w_new = tuple(tuple(w[t][i] + a_sel * d[t][i] for i in range(n))
-                      for t in range(T))
+        # (step size 0 reproduces w, pinned x0 included since w[0][:nx]=x0).
+        # NaN guard (branch-free): when the f32 factorization breaks down
+        # (ρ·JᵀJ condition > 1/eps_f32 — the round-2 cp2 fused-f32 NaN) the
+        # direction d can be huge/inf and every candidate merit NaN; each
+        # ls_body comparison already rejects NaN candidates individually
+        # (NaN < best is false), and the `where` select below keeps the
+        # incumbent w bit-exact instead of computing 0·inf = NaN.
+        better_any = best_m < merit_cur
+        a_sel = jnp.where(better_any, best_a, 0.0)
+        w_new = tuple(tuple(
+            jnp.where(better_any, w[t][i] + a_sel * d[t][i], w[t][i])
+            for i in range(n)) for t in range(T))
         w_new = tuple(tuple(x0[i] if t == 0 and i < nx else w_new[t][i]
                             for i in range(n)) for t in range(T))
-        merit_new = jnp.minimum(best_m, merit_cur)
+        merit_new = jnp.where(better_any, best_m, merit_cur)
         return (w_new, merit_new, lam_d_t, lam_h_t, lam_l_t, rho)
 
     def _merit_constraints(w, lam_d_t, lam_h_t, lam_l_t, rho):
@@ -326,17 +342,36 @@ def fused_al_solve(model, Cd: Array, c: Array, x0: Array, u_lo_arr, u_hi_arr,
                    al_iter: int = 2, n_newton: int = 4, n_ls: int = 20,
                    rho_factor: float = 10.0, rho_max: float = 1e4,
                    reg: float = 1e-5, interpret: bool = False,
-                   ls_unroll: bool = False
+                   ls_unroll: bool = False,
+                   lam_dyn: Array = None, lam_hi: Array = None,
+                   lam_lo: Array = None, rho0: Array = None,
                    ) -> Tuple[Array, Array, Array, Array, Array]:
-    """Whole-solver fused AL-MPC (fresh λ/ρ; explicit x/u warm starts).
+    """Whole-solver fused AL-MPC with explicit x/u (and optional λ/ρ)
+    warm starts.
 
     Cd, c: [B, T, n]; x0: [B, nx]; x_init: [B, T, nx]; u_init: [B, T, nu];
     u_lo_arr/u_hi_arr: [nu] (static per call via closure conversion to
-    floats). Returns (xu [B,T,n], lam_dyn, lam_hi, lam_lo, res_norm [B]).
+    floats). lam_dyn [B, T-1, nx], lam_hi/lam_lo [B, T, nu], rho0 [B]
+    default to zeros/ones — the fresh-ALState semantics. Returns
+    (xu [B,T,n], lam_dyn, lam_hi, lam_lo, res_norm [B]).
     """
     u_lo = tuple(float(v) for v in np.asarray(u_lo_arr))
     u_hi = tuple(float(v) for v in np.asarray(u_hi_arr))
+    B, T, n = Cd.shape
+    nx = x0.shape[-1]
+    nu = n - nx
+    dt = Cd.dtype
+    if lam_dyn is None:
+        lam_dyn = jnp.zeros((B, T - 1, nx), dt)
+    if lam_hi is None:
+        lam_hi = jnp.zeros((B, T, nu), dt)
+    if lam_lo is None:
+        lam_lo = jnp.zeros((B, T, nu), dt)
+    if rho0 is None:
+        rho0 = jnp.ones((B,), dt)
+    rho0 = rho0.reshape(B).astype(dt)
     return _fused_al_solve_jit(model, Cd, c, x0, u_lo, u_hi, x_init, u_init,
+                               lam_dyn, lam_hi, lam_lo, rho0,
                                al_iter, n_newton, n_ls, float(rho_factor),
                                float(rho_max), float(reg), interpret,
                                ls_unroll)
@@ -347,6 +382,7 @@ def fused_al_solve(model, Cd: Array, c: Array, x0: Array, u_lo_arr, u_hi_arr,
     static_argnames=("model", "u_lo", "u_hi", "al_iter", "n_newton", "n_ls",
                      "rho_factor", "rho_max", "reg", "interpret", "ls_unroll"))
 def _fused_al_solve_jit(model, Cd, c, x0, u_lo, u_hi, x_init, u_init,
+                        lam_dyn, lam_hi, lam_lo, rho0,
                         al_iter, n_newton, n_ls, rho_factor, rho_max, reg,
                         interpret, ls_unroll):
     B, T, n = Cd.shape
@@ -360,8 +396,12 @@ def _fused_al_solve_jit(model, Cd, c, x0, u_lo, u_hi, x_init, u_init,
             [a, jnp.zeros((pad,) + a.shape[1:], dt)], axis=0)
         Cd, c, x0 = padB(Cd), padB(c), padB(x0)
         x_init, u_init = padB(x_init), padB(u_init)
-        # padded elements: unit cost keeps the Newton systems well posed
+        lam_dyn, lam_hi, lam_lo = padB(lam_dyn), padB(lam_hi), padB(lam_lo)
+        rho0 = padB(rho0)
+        # padded elements: unit cost + unit ρ keep the Newton systems
+        # well posed
         Cd = Cd.at[B:].add(1.0)
+        rho0 = rho0.at[B:].add(1.0)
     Bp = B + pad
     G = Bp // TILE
 
@@ -383,7 +423,9 @@ def _fused_al_solve_jit(model, Cd, c, x0, u_lo, u_hi, x_init, u_init,
         kernel,
         grid=(G,),
         in_specs=[spec((T, n)), spec((T, n)), spec((nx,)),
-                  spec((T, nx)), spec((T, nu))],
+                  spec((T, nx)), spec((T, nu)),
+                  spec((T - 1, nx)), spec((T, nu)), spec((T, nu)),
+                  spec((1,))],
         out_specs=(spec((T, n)), spec((T - 1, nx)), spec((T, nu)),
                    spec((T, nu)), spec((1,))),
         out_shape=(
@@ -395,7 +437,9 @@ def _fused_al_solve_jit(model, Cd, c, x0, u_lo, u_hi, x_init, u_init,
         ),
         interpret=interpret,
     )(to_tiles(Cd, (T, n)), to_tiles(c, (T, n)), to_tiles(x0, (nx,)),
-      to_tiles(x_init, (T, nx)), to_tiles(u_init, (T, nu)))
+      to_tiles(x_init, (T, nx)), to_tiles(u_init, (T, nu)),
+      to_tiles(lam_dyn, (T - 1, nx)), to_tiles(lam_hi, (T, nu)),
+      to_tiles(lam_lo, (T, nu)), to_tiles(rho0[:, None], (1,)))
 
     back = lambda a, inner: jnp.moveaxis(
         a, (-2, -1), (1, 2)).reshape((Bp,) + inner)[:B]

@@ -86,6 +86,14 @@ def line_search(cost, dynamics, xu, update, merit, x0, bounds, lam, rho,
     merits = jax.vmap(
         lambda c: _merit_at(cost, dynamics, c, x0, bounds, lam, rho)
     )(cand)  # [n_ls, bsz]
+    # NaN guard (branch-free): a candidate whose merit overflows/NaNs (f32
+    # Cholesky breakdown at ρ≈1e6 produces a huge/NaN Newton direction —
+    # the round-2 cp2 fused-f32 blow-up) must LOSE the argmin, not poison
+    # it: min/argmin propagate NaN, and the old arithmetic blend
+    # `improved·xu_best + (1−improved)·xu` turned 0·NaN into NaN even for
+    # rejected candidates. Sanitized merits + a `where` select keep the
+    # incumbent iterate bit-exact when every candidate fails.
+    merits = jnp.where(jnp.isnan(merits), jnp.inf, merits)
 
     best = jnp.argmin(merits, axis=0)  # [bsz]
     merit_best = jnp.min(merits, axis=0)
@@ -94,7 +102,7 @@ def line_search(cost, dynamics, xu, update, merit, x0, bounds, lam, rho,
     step = steps[best]
 
     improved = (merit_best < merit).astype(dtype)
-    xu_new = improved[:, None, None] * xu_best + (1.0 - improved[:, None, None]) * xu
+    xu_new = jnp.where(improved[:, None, None] > 0, xu_best, xu)
     merit_new = jnp.where(improved > 0, merit_best, merit)
     return xu_new, merit_new, step, improved
 

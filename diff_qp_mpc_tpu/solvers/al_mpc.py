@@ -216,6 +216,10 @@ def _al_solve_bwd(dynamics, cfg, residuals_saved, cotangents):
     from diff_qp_mpc_tpu.ops import newton_al as newton_al_mod
 
     g = -newton_al_mod.kkt_solver(cfg.kernel)(D, O, ct_xu, cfg.reg)
+    # drop (not propagate) batch elements whose implicit system is beyond
+    # f32 (ρ at rho_max makes cond(H) ≈ ρ/reg; the f32 Cholesky then emits
+    # NaN/inf): one singular element must not poison the batch gradient
+    g = jnp.where(jnp.isfinite(g), g, 0.0)
     dCd = g * xu  # diag-Q gradient (al_utils.py:482)
     dc = g  # (al_utils.py:484)
 
@@ -327,12 +331,14 @@ def _fused_core(dynamics, cfg, bounds_t, cost, x0, x_init, u_init):
     return xu, res, lamd, lamh, laml
 
 
-def _fused_DO(dynamics, cfg, cost, x0, bounds, xu, lamd, lamh, laml):
+def _fused_DO(dynamics, cfg, cost, x0, bounds, xu, lamd, lamh, laml,
+              rho=None):
     """Final pinned GN Hessian blocks for the implicit backward.
 
     The backward Hessian uses the λ/ρ that produced the final Newton step:
     λ after al_iter−1 outer updates, ρ = min(rho_factor^(al_iter−1),
-    rho_max) — both deterministic for the fresh-state fused path. The
+    rho_max) — both deterministic for the fresh-state fused path (pass
+    ``rho`` [bsz, 1] explicitly for the warm-started stateful path). The
     kernel returns λ after the FINAL update; one update beyond the last
     Newton solve only perturbs the GN Hessian through the active-set
     masks, so the returned multipliers are used directly.
@@ -341,8 +347,9 @@ def _fused_DO(dynamics, cfg, cost, x0, bounds, xu, lamd, lamh, laml):
     bsz = x0.shape[0]
     lam = Lambdas(lam_dyn=lamd, lam_init=jnp.zeros((bsz, nx), xu.dtype),
                   lam_hi=lamh, lam_lo=laml)
-    rho_last = min(cfg.rho_factor ** (cfg.al_iter - 1), cfg.rho_max)
-    rho = jnp.full((bsz, 1), rho_last, xu.dtype)
+    if rho is None:
+        rho_last = min(cfg.rho_factor ** (cfg.al_iter - 1), cfg.rho_max)
+        rho = jnp.full((bsz, 1), rho_last, xu.dtype)
     dyn_jac = step_with_jac(dynamics.step)
     g, D, O, _ = almerit.merit_grad_hess(
         cost, dyn_jac, xu[..., :nx], xu[..., nx:], x0, bounds, lam, rho)
@@ -365,6 +372,7 @@ def _fused_solve_bwd(dynamics, cfg, bounds_t, saved, cts):
     nx0 = x0.shape[-1]
     ct_xu = ct_xu.at[:, 0, :nx0].set(0.0)
     g = -newton_al.kkt_solver(cfg.kernel)(D, O, ct_xu, cfg.reg)
+    g = jnp.where(jnp.isfinite(g), g, 0.0)  # see _al_solve_bwd
     d_cost = dataclasses.replace(
         jax.tree.map(jnp.zeros_like, cost),
         Cd=(g * xu).astype(cost.Cd.dtype), c=g.astype(cost.c.dtype))
@@ -401,3 +409,150 @@ def solve_fused(dynamics: DynamicsModel, cost: DiagQuadCost, x0: Array,
         xu, res = _fused_core(dynamics, cfg, bounds_t, cost, x0,
                               x_init, u_init)[:2]
     return xu[..., :nx], xu[..., nx:], res
+
+
+# ---------------------------------------------------------------------------
+# Stateful fused path: the scan path's FULL ALState carry (λ/ρ warm start,
+# cost/λ/ρ history, receding-horizon reuse) on the fused kernel. The kernel
+# is driven one AL iteration at a time so the per-iteration history pushes
+# and λ/ρ updates happen in plain JAX exactly as _al_core does them — the
+# two paths then implement the SAME operator (round-2 verdict: fused-fresh
+# vs scan-carry semantics drift cost 1.00→0.84 / 0.72→0.58 on cross-path
+# checkpoint evals). Per-call kernel-launch overhead is negligible: al_iter
+# is 2 at training budgets and each launch re-reads only O(bsz·T·n) floats.
+# ---------------------------------------------------------------------------
+
+
+def _fused_stateful_core(dynamics, cfg, bounds_t, cost, x0, state,
+                         x_init, u_init):
+    """Returns (xu, new_state, stats, rho_last) — entry logic is a mirror
+    of _al_core (same warm_start / history semantics)."""
+    from diff_qp_mpc_tpu.ops.al_fused_pallas import fused_al_solve
+
+    bsz, T, nx = state.x.shape
+    u = u_init if u_init is not None else state.u
+    x_roll = dynamics.rollout(jax.lax.stop_gradient(x0), u)
+    if x_init is not None:
+        x = x_init
+    else:
+        x = jnp.where(state.just_initialized, x_roll, state.x)
+
+    lam = state.lam
+    rho = state.rho
+
+    xu = jnp.concatenate([x, u], axis=-1)
+    cost_start = almerit.compute_cost(cost, xu)
+    lam_ws, rho_ws = warm_start(lam, rho, cost_start, state)
+    lam = jax.tree.map(
+        lambda a, b: jnp.where(state.just_initialized, a, b), lam, lam_ws
+    )
+    rho = jnp.where(state.just_initialized, rho, rho_ws)
+    rho = jnp.clip(rho, 1e-3, cfg.rho_max)
+
+    hist_cost = _push_hist(state.hist_cost, cost_start)
+    hist_lam = jax.tree.map(_push_hist, state.hist_lam, lam)
+    hist_rho = _push_hist(state.hist_rho, rho)
+
+    u_lo, u_hi = bounds_t
+    rho_last = rho
+    res = None
+    for _ in range(cfg.al_iter):  # static, small (2 at training budgets)
+        rho_last = rho  # the ρ producing this (possibly final) Newton solve
+        xu, lamd, lamh, laml, res = fused_al_solve(
+            dynamics, cost.Cd, cost.c, x0, u_lo, u_hi,
+            xu[..., :nx], xu[..., nx:],
+            al_iter=1, n_newton=cfg.n_newton, n_ls=cfg.n_ls,
+            rho_factor=cfg.rho_factor, rho_max=cfg.rho_max,
+            reg=cfg.reg, interpret=cfg.interpret,
+            lam_dyn=lam.lam_dyn, lam_hi=lam.lam_hi, lam_lo=lam.lam_lo,
+            rho0=rho[:, 0])
+        lam = Lambdas(lam_dyn=lamd,
+                      lam_init=jnp.zeros_like(lam.lam_init),
+                      lam_hi=lamh, lam_lo=laml)
+        # the kernel applies ρ ← min(ρ·factor, rho_max) after its λ update;
+        # replicate the carried value here (deterministic elementwise map)
+        rho = jnp.minimum(rho * cfg.rho_factor, cfg.rho_max)
+        cost_now = almerit.compute_cost(cost, xu)
+        hist_cost = _push_hist(hist_cost, cost_now)
+        hist_lam = jax.tree.map(_push_hist, hist_lam, lam)
+        hist_rho = _push_hist(hist_rho, rho)
+
+    new_state = ALState(
+        x=xu[..., :nx], u=xu[..., nx:], lam=lam, rho=rho,
+        hist_cost=hist_cost, hist_lam=hist_lam, hist_rho=hist_rho,
+        hist_filled=jnp.minimum(
+            state.hist_filled + cfg.al_iter + 1, state.hist_cost.shape[0]),
+        just_initialized=jnp.zeros((), bool),
+    )
+    stats = SolveStats(
+        dyn_res=res, cost=almerit.compute_cost(cost, xu),
+        merit=jnp.zeros((bsz,), xu.dtype),
+        newton_steps=jnp.asarray(cfg.al_iter * cfg.n_newton, jnp.int32),
+        step_size=jnp.zeros((bsz,), xu.dtype),
+    )
+    return xu, new_state, stats, rho_last
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_stateful_diff(dynamics, cfg, bounds_t, cost, x0, state,
+                         x_init, u_init):
+    xu, new_state, stats, _ = _fused_stateful_core(
+        dynamics, cfg, bounds_t, cost, x0, state, x_init, u_init)
+    return xu, new_state, stats
+
+
+def _fused_stateful_fwd(dynamics, cfg, bounds_t, cost, x0, state,
+                        x_init, u_init):
+    xu, new_state, stats, rho_last = _fused_stateful_core(
+        dynamics, cfg, bounds_t, cost, x0, state, x_init, u_init)
+    bounds = Bounds(u_lo=jnp.asarray(bounds_t[0], x0.dtype),
+                    u_hi=jnp.asarray(bounds_t[1], x0.dtype))
+    D, O = _fused_DO(dynamics, cfg, cost, x0, bounds, xu,
+                     new_state.lam.lam_dyn, new_state.lam.lam_hi,
+                     new_state.lam.lam_lo, rho=rho_last)
+    return (xu, new_state, stats), (xu, D, O, cost, x0, state, x_init, u_init)
+
+
+def _fused_stateful_bwd(dynamics, cfg, bounds_t, saved, cts):
+    xu, D, O, cost, x0, state, x_init, u_init = saved
+    ct_xu, _ct_state, _ct_stats = cts
+    nx0 = x0.shape[-1]
+    ct_xu = ct_xu.at[:, 0, :nx0].set(0.0)
+    g = -newton_al.kkt_solver(cfg.kernel)(D, O, ct_xu, cfg.reg)
+    g = jnp.where(jnp.isfinite(g), g, 0.0)  # see _al_solve_bwd
+    d_cost = dataclasses.replace(
+        jax.tree.map(jnp.zeros_like, cost),
+        Cd=(g * xu).astype(cost.Cd.dtype), c=g.astype(cost.c.dtype))
+    zeros = lambda v: None if v is None else jax.tree.map(jnp.zeros_like, v)
+    return (d_cost, zeros(x0), zeros(state), zeros(x_init), zeros(u_init))
+
+
+_fused_stateful_diff.defvjp(_fused_stateful_fwd, _fused_stateful_bwd)
+
+
+def solve_fused_stateful(dynamics: DynamicsModel, cost: DiagQuadCost,
+                         x0: Array, bounds: Bounds, state: ALState,
+                         cfg: ALConfig = ALConfig(),
+                         x_init: Optional[Array] = None,
+                         u_init: Optional[Array] = None,
+                         differentiable: bool = True):
+    """Fused-kernel AL-MPC with the scan path's full warm-start carry.
+
+    Drop-in equivalent of :func:`solve` (same signature and semantics —
+    ALState warm starts, history-based λ/ρ selection, implicit cost
+    gradients) executed on the whole-solver Pallas kernel. Checkpoints
+    train/eval interchangeably between this and the scan path.
+    """
+    import numpy as _np
+
+    nx = x0.shape[-1]
+    bounds_t = (tuple(float(v) for v in _np.asarray(bounds.u_lo)),
+                tuple(float(v) for v in _np.asarray(bounds.u_hi)))
+    if differentiable:
+        xu, new_state, stats = _fused_stateful_diff(
+            dynamics, cfg, bounds_t, cost, x0, state, x_init, u_init)
+    else:
+        xu, new_state, stats, _ = _fused_stateful_core(
+            dynamics, cfg, bounds_t, cost, x0, state, x_init, u_init)
+    new_state = jax.lax.stop_gradient(new_state)
+    return xu[..., :nx], xu[..., nx:], new_state, stats
