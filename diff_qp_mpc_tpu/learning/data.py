@@ -147,3 +147,57 @@ def unwrap_window_angles(states: Array, mode: str) -> Array:
         s[:, t, cols] = np.where(jump, cur - sign(cur, prev) * 2 * np.pi, cur)
         prev = s[:, t, cols]
     return s
+
+
+# ---------------------------------------------------------------------------
+# Reference torch checkpoint ingestion
+# ---------------------------------------------------------------------------
+
+
+def load_reference_torch_policy(path: str) -> Dict:
+    """Torch-state-dict → flax-params adapter for the reference's shipped
+    DEQ-MPC policy checkpoints (deqmpc/model/bc_sac_pen; saved by
+    deqmpc/train.py:196 ``torch.save(policy.state_dict(), ...)`` and loaded
+    back at train.py:127 / test.py:121).
+
+    The reference policy is DEQMPCPolicy → self.model = DEQLayer (mlp,
+    policies.py:426-437): ``model.inp_layer.{0,1}`` (Linear+LayerNorm input
+    encoder), ``model.{fcdeq1,lndeq1,fcdeq2,lndeq2,lndeq3}`` (the weight-
+    tied cell, policies.py:280-285), ``model.out_layer.0`` (output head).
+    Returns ``{"params": ...}`` for this repo's DEQMPCPolicy with the same
+    (T, hdim, out_type=1, layer_type="mlp") — verified numerically against
+    the torch forward (tests/test_learning.py).
+
+    Torch Linear stores weight [out, in]; flax Dense kernel is [in, out].
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    t = {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()}
+
+    def lin(prefix):
+        return {"kernel": t[prefix + ".weight"].T.astype(np.float32),
+                "bias": t[prefix + ".bias"].astype(np.float32)}
+
+    def ln(prefix):
+        return {"scale": t[prefix + ".weight"].astype(np.float32),
+                "bias": t[prefix + ".bias"].astype(np.float32)}
+
+    layer = {
+        "Dense_0": lin("model.inp_layer.0"),
+        "LayerNorm_0": ln("model.inp_layer.1"),
+        "DEQCell_0": {
+            "Dense_0": lin("model.fcdeq1"),
+            "LayerNorm_0": ln("model.lndeq1"),
+            "Dense_1": lin("model.fcdeq2"),
+            # flax autonames in CONSTRUCTION order and Python constructs the
+            # callee before its arguments, so in
+            # ``LayerNorm()(relu(z1 + LayerNorm()(x + Dense(z1))))``
+            # the OUTER LayerNorm is LayerNorm_1 (reference lndeq3) and the
+            # inner one is LayerNorm_2 (reference lndeq2)
+            "LayerNorm_1": ln("model.lndeq3"),
+            "LayerNorm_2": ln("model.lndeq2"),
+        },
+        "Dense_1": lin("model.out_layer.0"),
+    }
+    return {"params": {"DEQLayer_0": layer}}

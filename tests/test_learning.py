@@ -251,3 +251,47 @@ def test_deqmpc_ws_mode_solution():
                                np.asarray(it_s[0].states), atol=1e-6)
     assert not np.allclose(np.asarray(it_p[-1].states),
                            np.asarray(it_s[-1].states), atol=1e-6)
+
+
+def test_reference_torch_checkpoint_adapter():
+    """Load the reference's shipped torch policy checkpoint
+    (deqmpc/model/bc_sac_pen, a DEQMPCPolicy state dict saved by its
+    train.py:196) into our flax DEQLayer and match the torch forward
+    (replicated with torch.nn.functional from the raw state dict) to a few
+    1e-4 — exercising the state-dict→flax mapping including the
+    construction-order LayerNorm naming subtlety."""
+    torch = pytest.importorskip("torch")
+    import os
+
+    path = "/root/reference/deqmpc/model/bc_sac_pen"
+    if not os.path.exists(path):
+        pytest.skip("reference checkpoint not available")
+    from diff_qp_mpc_tpu.learning.data import load_reference_torch_policy
+
+    params = load_reference_torch_policy(path)
+    layer = DEQLayer(nx=2, nu=1, nq=1, T=5, hdim=128, dt=0.05, out_type=1,
+                     layer_type="mlp")
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 2).astype(np.float32)
+    traj = rng.randn(4, 10).astype(np.float32)
+    traj[:, :2] = x
+    z = rng.randn(4, 128).astype(np.float32)
+    x_ref, z_out = layer.apply({"params": params["params"]["DEQLayer_0"]},
+                               jnp.asarray(x), jnp.asarray(traj),
+                               jnp.asarray(z))
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    tx, tz = torch.tensor(traj), torch.tensor(z)
+    lin = lambda p, v: torch.nn.functional.linear(
+        v, sd[p + ".weight"], sd[p + ".bias"])
+    lnf = lambda p, v: torch.nn.functional.layer_norm(
+        v, (128,), sd[p + ".weight"], sd[p + ".bias"])
+    xi = lnf("model.inp_layer.1", lin("model.inp_layer.0", tx))
+    zz = lnf("model.lndeq1", torch.relu(lin("model.fcdeq1", tz)))
+    zo = lnf("model.lndeq3", torch.relu(
+        zz + lnf("model.lndeq2", xi + lin("model.fcdeq2", zz))))
+    out = lin("model.out_layer.0", zo)
+    d = out.view(-1, 4, 2)
+    x_ref_t = torch.cat([d[..., :1] * 0.05 + tx[:, None, :1], d[..., 1:]], -1)
+    np.testing.assert_allclose(np.asarray(z_out), zo.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(x_ref), x_ref_t.numpy(), atol=2e-4)
