@@ -600,10 +600,290 @@ def sac_expert_rollouts(env, act_fn, num_traj: int = 300,
     return trajs
 
 
+# ---------------------------------------------------------------------------
+# CGAC — Critic-Gradient based Actor Critic (the reference's third expert
+# family). The reference ships ONLY the policy network and observation
+# normalizer (ppo_train.py:131-211 CGACGaussianPolicy, :59-131
+# CGACRunningMeanStd) and uses them to roll out externally-trained
+# checkpoints (datagen.py:239-276, get_expert_traj_cgac; the checkpoint
+# blobs themselves are stripped, .MISSING_LARGE_BLOBS). This trainer
+# completes the component: the massively-parallel on-policy actor-critic
+# recipe those classes come from (Gurumurthy et al., "Practical Critic
+# Gradient based Actor Critic", L4DC 2023) —
+#   * many parallel envs, one synchronized step per iteration;
+#   * a SHORT on-policy FIFO buffer (the freshest window of transitions,
+#     not SAC's uniform 200k replay);
+#   * twin-Q critics with entropy-regularized TD targets;
+#   * the actor improved through the critic's action gradient
+#     (reparameterized ∂Q/∂a at sampled actions) with auto-tuned
+#     temperature;
+#   * always-on running mean/std observation normalization.
+# Architecture parity with CGACGaussianPolicy is exact: ELU trunk
+# [512, 256], mean + state-dependent log-std heads clamped to [-20, 2],
+# tanh squash with the action-bound log-det correction
+# (ppo_train.py:167-205).
+# ---------------------------------------------------------------------------
+
+
+class CGACActor(nn.Module):
+    """CGACGaussianPolicy (ppo_train.py:131-175): ELU MLP trunk, mean head,
+    clamped state-dependent log-std head."""
+
+    nu: int
+    hidden: tuple = (512, 256)
+
+    @nn.compact
+    def __call__(self, x: Array):
+        h = x
+        for w in self.hidden:
+            h = nn.elu(nn.Dense(w)(h))
+        mean = nn.Dense(self.nu)(h)
+        log_std = jnp.clip(nn.Dense(self.nu)(h), -20.0, 2.0)
+        return mean, log_std
+
+
+@dataclasses.dataclass(frozen=True)
+class CGACConfig:
+    n_envs: int = 256            # parallel envs (paper: thousands on GPU)
+    window: int = 16             # on-policy FIFO depth, in env steps
+    batch_size: int = 1024
+    updates_per_iter: int = 4
+    gamma: float = 0.99
+    tau: float = 0.005
+    lr: float = 3e-4
+    warmup_steps: int = 4        # env steps before training (fills window)
+    init_alpha: float = 0.2
+    reward_scale: float = 1.0
+    block: int = 100
+
+
+class CGACState(NamedTuple):
+    actor: any
+    q: any
+    q_targ: any
+    log_alpha: Array
+    opt_a: any
+    opt_q: any
+    opt_alpha: any
+    buf_obs: Array   # [window, n_envs, nx] on-policy FIFO
+    buf_act: Array
+    buf_rew: Array
+    buf_next: Array
+    filled: Array
+    obs_mean: Array
+    obs_var: Array
+    obs_count: Array
+    env_state: EnvState
+    key: Array
+
+
+def make_cgac(env, cfg: CGACConfig):
+    actor_net = CGACActor(nu=env.nu)
+    q_net = TwinQ()
+    lo = jnp.asarray(env.action_space.low, jnp.float32)
+    hi = jnp.asarray(env.action_space.high, jnp.float32)
+    act_scale = (hi - lo) / 2.0
+    act_bias = (hi + lo) / 2.0
+    target_entropy = -float(env.nu)
+    opt = optax.adam(cfg.lr)
+
+    def norm_obs(st, obs):
+        """CGACRunningMeanStd.forward (ppo_train.py:102-129): normalize,
+        clamp to ±5."""
+        return jnp.clip((obs - st.obs_mean) / jnp.sqrt(st.obs_var + 1e-5),
+                        -5.0, 5.0)
+
+    def update_obs_stats(st, batch_obs):
+        """Chan parallel-moments update (ppo_train.py:84-100)."""
+        bm, bv, bc = batch_obs.mean(0), batch_obs.var(0), batch_obs.shape[0]
+        delta = bm - st.obs_mean
+        tot = st.obs_count + bc
+        new_mean = st.obs_mean + delta * bc / tot
+        m2 = (st.obs_var * st.obs_count + bv * bc
+              + delta ** 2 * st.obs_count * bc / tot)
+        return st._replace(obs_mean=new_mean, obs_var=m2 / tot, obs_count=tot)
+
+    def sample_action(actor_params, obs, key):
+        """rsample + tanh + bound correction (ppo_train.py:187-205)."""
+        mean, log_std = actor_net.apply(actor_params, obs)
+        std = jnp.exp(log_std)
+        x_t = mean + std * jax.random.normal(key, mean.shape)
+        y_t = jnp.tanh(x_t)
+        action = y_t * act_scale + act_bias
+        logp = -0.5 * (((x_t - mean) / std) ** 2 + 2 * log_std
+                       + jnp.log(2 * jnp.pi))
+        logp = logp - jnp.log(act_scale * (1 - y_t ** 2) + 1e-6)
+        return action, logp.sum(-1)
+
+    def mean_action(actor_params, obs):
+        mean, _ = actor_net.apply(actor_params, obs)
+        return jnp.tanh(mean) * act_scale + act_bias
+
+    def grad_update(st: "CGACState", key):
+        k_idx, k_act, k_next = jax.random.split(key, 3)
+        n_valid = st.filled * cfg.n_envs
+        flat_idx = jax.random.randint(k_idx, (cfg.batch_size,), 0, n_valid)
+        t_idx, e_idx = flat_idx // cfg.n_envs, flat_idx % cfg.n_envs
+        obs = norm_obs(st, st.buf_obs[t_idx, e_idx])
+        nxt = norm_obs(st, st.buf_next[t_idx, e_idx])
+        act = st.buf_act[t_idx, e_idx]
+        rew = st.buf_rew[t_idx, e_idx]
+        alpha = jnp.exp(st.log_alpha)
+
+        a2, logp2 = sample_action(st.actor, nxt, k_next)
+        q1t, q2t = q_net.apply(st.q_targ, nxt, a2)
+        target = rew + cfg.gamma * (jnp.minimum(q1t, q2t) - alpha * logp2)
+        target = jax.lax.stop_gradient(target)
+
+        def q_loss_fn(q_params):
+            q1, q2 = q_net.apply(q_params, obs, act)
+            return jnp.mean((q1 - target) ** 2) + jnp.mean((q2 - target) ** 2)
+
+        q_loss, gq = jax.value_and_grad(q_loss_fn)(st.q)
+        upd, opt_q = opt.update(gq, st.opt_q, st.q)
+        q_params = optax.apply_updates(st.q, upd)
+
+        # critic-gradient actor step: ∂/∂θ E[min Q(s, ã(θ)) − α log π]
+        # — gradients reach θ only through the action input of Q
+        def a_loss_fn(actor_params):
+            a, logp = sample_action(actor_params, obs, k_act)
+            q1, q2 = q_net.apply(q_params, obs, a)
+            return jnp.mean(alpha * logp - jnp.minimum(q1, q2)), logp
+
+        (a_loss, logp), ga = jax.value_and_grad(a_loss_fn, has_aux=True)(st.actor)
+        upd, opt_a = opt.update(ga, st.opt_a, st.actor)
+        actor_params = optax.apply_updates(st.actor, upd)
+
+        def alpha_loss_fn(log_alpha):
+            return -jnp.mean(jnp.exp(log_alpha)
+                             * jax.lax.stop_gradient(logp + target_entropy))
+
+        _, galpha = jax.value_and_grad(alpha_loss_fn)(st.log_alpha)
+        upd, opt_alpha = opt.update(galpha, st.opt_alpha, st.log_alpha)
+        log_alpha = optax.apply_updates(st.log_alpha, upd)
+
+        q_targ = jax.tree.map(lambda t, s: (1 - cfg.tau) * t + cfg.tau * s,
+                              st.q_targ, q_params)
+        return st._replace(actor=actor_params, q=q_params, q_targ=q_targ,
+                           log_alpha=log_alpha, opt_a=opt_a, opt_q=opt_q,
+                           opt_alpha=opt_alpha), (q_loss, a_loss)
+
+    def env_step(st: "CGACState", key, random_policy: bool):
+        k_act, k_reset = jax.random.split(key)
+        obs = st.env_state.x
+        if random_policy:
+            u = jax.random.uniform(k_act, (obs.shape[0], env.nu),
+                                   minval=lo, maxval=hi)
+        else:
+            u, _ = sample_action(st.actor, norm_obs(st, obs), k_act)
+        env2, reward, done = env.step(st.env_state, u)
+        # FIFO: roll the window, write the newest step at the end
+        st = st._replace(
+            buf_obs=jnp.concatenate([st.buf_obs[1:], obs[None]], 0),
+            buf_act=jnp.concatenate([st.buf_act[1:], u[None]], 0),
+            buf_rew=jnp.concatenate(
+                [st.buf_rew[1:], (cfg.reward_scale * reward)[None]], 0),
+            buf_next=jnp.concatenate([st.buf_next[1:], env2.x[None]], 0),
+            filled=jnp.minimum(st.filled + 1, cfg.window),
+        )
+        st = update_obs_stats(st, obs)
+        env2 = env.reset_where(k_reset, env2, done)
+        return st._replace(env_state=env2), reward.mean()
+
+    def iteration(st: "CGACState", _):
+        key, k_step, k_upd = jax.random.split(st.key, 3)
+        st = st._replace(key=key)
+        st, mean_r = env_step(st, k_step, random_policy=False)
+        st, losses = jax.lax.scan(lambda s, k: grad_update(s, k), st,
+                                  jax.random.split(k_upd, cfg.updates_per_iter))
+        return st, (mean_r, losses[0].mean(), losses[1].mean())
+
+    @jax.jit
+    def train_block(st: "CGACState"):
+        return jax.lax.scan(iteration, st, None, length=cfg.block)
+
+    @jax.jit
+    def warmup_block(st: "CGACState"):
+        def it(st, _):
+            key, k_step = jax.random.split(st.key)
+            st = st._replace(key=key)
+            st, r = env_step(st, k_step, random_policy=True)
+            return st, r
+
+        return jax.lax.scan(it, st, None, length=max(1, cfg.warmup_steps))
+
+    def init_state(seed: int) -> CGACState:
+        key = jax.random.PRNGKey(seed)
+        key, k_a, k_q, k_reset = jax.random.split(key, 4)
+        obs0 = jnp.zeros((1, env.nx), jnp.float32)
+        act0 = jnp.zeros((1, env.nu), jnp.float32)
+        actor = actor_net.init(k_a, obs0)
+        q = q_net.init(k_q, obs0, act0)
+        log_alpha = jnp.asarray(jnp.log(cfg.init_alpha), jnp.float32)
+        W, N = cfg.window, cfg.n_envs
+        return CGACState(
+            actor=actor, q=q, q_targ=q, log_alpha=log_alpha,
+            opt_a=opt.init(actor), opt_q=opt.init(q),
+            opt_alpha=opt.init(log_alpha),
+            buf_obs=jnp.zeros((W, N, env.nx), jnp.float32),
+            buf_act=jnp.zeros((W, N, env.nu), jnp.float32),
+            buf_rew=jnp.zeros((W, N), jnp.float32),
+            buf_next=jnp.zeros((W, N, env.nx), jnp.float32),
+            filled=jnp.zeros((), jnp.int32),
+            obs_mean=jnp.zeros((env.nx,), jnp.float32),
+            obs_var=jnp.ones((env.nx,), jnp.float32),
+            obs_count=jnp.asarray(1e-4, jnp.float32),
+            env_state=env.reset(k_reset, N),
+            key=key,
+        )
+
+    return (actor_net, mean_action, norm_obs, init_state, warmup_block,
+            train_block)
+
+
+def train_cgac(env, cfg: CGACConfig = CGACConfig(), iters: int = 30_000,
+               seed: int = 0, log_every: int = 2_000, eval_rollouts: int = 64,
+               ckpt_path: str | None = None):
+    """Train CGAC; returns (actor_params, act_fn) with the deterministic
+    mean action (reference rollout semantics: policy.sample(rms(obs))[2],
+    datagen.py:252-259)."""
+    (actor_net, mean_action, norm_obs, init_state, warmup_block,
+     train_block) = make_cgac(env, cfg)
+    st = init_state(seed)
+    st, _ = warmup_block(st)
+
+    n_blocks = max(1, iters // cfg.block)
+    for b in range(n_blocks):
+        st, (mean_r, q_loss, a_loss) = train_block(st)
+        if (b * cfg.block) % log_every < cfg.block:
+            ep_r = evaluate_policy(
+                env, lambda obs: mean_action(st.actor, norm_obs(st, obs)),
+                n=eval_rollouts, seed=seed + b)
+            print(f"iter {b * cfg.block:6d} step_r {float(mean_r[-1]):+8.4f} "
+                  f"q_loss {float(q_loss[-1]):8.4f} "
+                  f"a_loss {float(a_loss[-1]):+8.4f} "
+                  f"alpha {float(jnp.exp(st.log_alpha)):.4f} "
+                  f"eval_ep_r {ep_r:+9.2f}", flush=True)
+            if ckpt_path is not None:
+                from diff_qp_mpc_tpu.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(ckpt_path, {
+                    "actor": st.actor, "obs_mean": st.obs_mean,
+                    "obs_var": st.obs_var})
+
+    final_st = st
+
+    def act(obs):
+        return mean_action(final_st.actor, norm_obs(final_st, obs))
+
+    return st.actor, act
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--env", type=str, default="pendulum")
-    p.add_argument("--algo", type=str, default="ppo", choices=["ppo", "sac"])
+    p.add_argument("--algo", type=str, default="ppo",
+                   choices=["ppo", "sac", "cgac"])
     p.add_argument("--iters", type=int, default=300)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default=None)
@@ -618,6 +898,22 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     env = make_env(args.env)
+    if args.algo == "cgac":
+        cfg = CGACConfig(reward_scale=args.reward_scale)
+        ckpt = (args.save_data + ".cgac_ckpt.msgpack"
+                if args.save_data else None)
+        _, act_fn = train_cgac(env, cfg, iters=args.iters, seed=args.seed,
+                               ckpt_path=ckpt)
+        if args.save_data:
+            from diff_qp_mpc_tpu.learning.data import save_expert_pickle
+
+            trajs = sac_expert_rollouts(env, act_fn, args.num_traj)
+            save_expert_pickle(args.save_data, trajs)
+            lens = [len(t) for t in trajs]
+            print(f"wrote {len(trajs)} expert trajectories "
+                  f"(len min/mean/max {min(lens)}/{np.mean(lens):.1f}/"
+                  f"{max(lens)}) to {args.save_data}")
+        return
     if args.algo == "sac":
         cfg = SACConfig(normalize_obs=args.normalize_obs,
                         reward_scale=args.reward_scale)
