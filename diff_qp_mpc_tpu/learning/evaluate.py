@@ -123,7 +123,8 @@ def main(argv=None):
         # scan = carried), so map that to an explicit on/off for whichever
         # kernel evaluates them (round-2 verdict: cross-path evals drifted
         # 1.00→0.84 because 'auto' re-inferred carry from the EVAL path).
-        if "solver_carry" not in meta and "solver_carry" not in provided:
+        if "solver_carry" not in provided and \
+                meta.get("solver_carry", "auto") == "auto":
             args.solver_carry = "off" if meta.get("fused") else "on"
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
