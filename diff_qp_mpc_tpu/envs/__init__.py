@@ -44,6 +44,9 @@ class PendulumEnv(Env):
     def _success(self, x):
         return jnp.abs(angle_normalize(x[..., 0])) < 0.05
 
+    def goal_error(self, x):
+        return jnp.abs(angle_normalize(x[..., 0]))
+
     def _reward(self, x, u):
         return -(angle_normalize(x[..., 0]) ** 2)
 
@@ -70,6 +73,9 @@ class IntegratorEnv(Env):
 
     def _success(self, x):
         return jnp.linalg.norm(x[..., : self.nq], axis=-1) < 0.01
+
+    def goal_error(self, x):
+        return jnp.linalg.norm(x[..., : self.nq], axis=-1)
 
     def _reward(self, x, u):
         pos, vel = x[..., : self.nq], x[..., self.nq:]
@@ -117,6 +123,9 @@ class _CartpoleEnvBase(Env):
 
     def _success(self, x):
         return self._delta_upright(x) < 0.05
+
+    def goal_error(self, x):
+        return self._delta_upright(x)
 
     def _reward(self, x, u):
         cart = jnp.abs(x[..., 0])
@@ -176,6 +185,9 @@ class QuadrotorEnv(Env):
 
     def _success(self, x):
         return jnp.linalg.norm(x[..., :3], axis=-1) < 0.05
+
+    def goal_error(self, x):
+        return jnp.linalg.norm(x[..., :3], axis=-1)
 
     def _reward(self, x, u):
         return -(jnp.linalg.norm(x[..., :3], axis=-1)

@@ -51,6 +51,7 @@ def evaluate_policy(env, policy, params, episodes: int = 64,
     done_at = np.full(episodes, max_steps, np.int32)
     ever_done = np.zeros(episodes, bool)
     ever_success = np.zeros(episodes, bool)
+    final_goal_err = np.full(episodes, np.nan)
     for t in range(max_steps):
         key, k_noise = jax.random.split(key)
         obs = noise_mod.corrupt_observation(
@@ -70,6 +71,12 @@ def evaluate_policy(env, policy, params, episodes: int = 64,
         total_reward += r * (~ever_done)
         newly = d & ~ever_done
         done_at[newly] = t + 1
+        # freeze the TRUE-state goal error at episode end (noise-robust
+        # companion metric; see Env.goal_error) — also updated for
+        # still-alive episodes so truncation records the last state
+        ge = np.asarray(env.goal_error(state.x))
+        live_or_new = newly | ~ever_done
+        final_goal_err = np.where(live_or_new, ge, final_goal_err)
         ever_success |= (succ & ~ever_done)
         ever_done |= d
         if ever_done.all():
@@ -79,6 +86,7 @@ def evaluate_policy(env, policy, params, episodes: int = 64,
         "success_rate": float(ever_success.mean()),
         "mean_reward": float(total_reward.mean()),
         "mean_episode_len": float(done_at.mean()),
+        "median_final_goal_err": float(np.nanmedian(final_goal_err)),
         "episodes": episodes,
         "noise_type": noise_type,
     }
