@@ -99,11 +99,14 @@ def _sin_chain_kernel(n_ops: int, n_streams: int, x_ref, o_ref):
         o_ref[i] = xs[i]
 
 
-def transcendental_rate(n_ops=512, n_streams=8, n_rep=20):
+def transcendental_rate(n_streams=8, n_rep=20):
     """Returns (latency-bound rate, throughput-bound rate) in sin-tiles/s:
-    1 dependent chain vs n_streams independent chains."""
-    rates = []
-    for streams in (1, n_streams):
+    1 dependent chain vs n_streams independent chains. Measured as the
+    SLOPE between two op counts so kernel-launch/dispatch overhead (which
+    dominates small Pallas calls through the remote-compile tunnel)
+    cancels out."""
+
+    def timed(n_ops, streams):
         x = jnp.linspace(0.1, 0.9, streams * 8 * 128, dtype=jnp.float32)
         x = x.reshape(streams, 8, 128)
         kern = functools.partial(_sin_chain_kernel, n_ops, streams)
@@ -117,8 +120,13 @@ def transcendental_rate(n_ops=512, n_streams=8, n_rep=20):
         t0 = time.perf_counter()
         for _ in range(n_rep):
             f(x).block_until_ready()
-        dt = (time.perf_counter() - t0) / n_rep
-        rates.append(streams * n_ops / dt)
+        return (time.perf_counter() - t0) / n_rep
+
+    rates = []
+    for streams in (1, n_streams):
+        n_lo, n_hi = 2048, 16384
+        dt = timed(n_hi, streams) - timed(n_lo, streams)
+        rates.append(streams * (n_hi - n_lo) / max(dt, 1e-9))
     return rates[0], rates[1]
 
 

@@ -27,6 +27,9 @@ COMMITTED = {
     "expert_traj_mpc-Pendulum-v0-stabilize_new.pkl",
     "expert_traj_mpc-Cartpole1l-v0-stabilize_new.pkl",
     "expert_traj_sac-Cartpole1l-v0_new.pkl",
+    "expert_traj_cgac-Pendulum-v0_new.pkl",
+    "expert_traj_cgac-Cartpole1l-v0_new.pkl",
+    "expert_traj_refbc-Pendulum-v0_new.pkl",
 }
 
 
@@ -91,3 +94,20 @@ def test_sac_cartpole1l_swingup_quality():
     finals = np.array([t[-1][0] for t in trajs])
     frac_up = (np.abs(angle_normalize(finals[:, 1] - np.pi)) < 0.15).mean()
     assert frac_up > 0.8, frac_up
+
+
+def test_cgac_expert_quality():
+    """CGAC-trained experts (learning/rl.py train_cgac) must solve their
+    tasks — and they dominate the reference's shipped cgac datasets
+    (cgac cp1 median final |θ−π| = 3.12 rad / 0%% upright; see RESULTS.md
+    head-to-head)."""
+    trajs = load("expert_traj_cgac-Pendulum-v0_new.pkl")
+    check_format(trajs, 2, 1)
+    finals = np.array([t[-1][0] for t in trajs])
+    assert (np.abs(angle_normalize(finals[:, 0])) < 0.1).mean() > 0.95
+
+    trajs = load("expert_traj_cgac-Cartpole1l-v0_new.pkl")
+    check_format(trajs, 4, 1)
+    finals = np.array([t[-1][0] for t in trajs])
+    up = (np.abs(angle_normalize(finals[:, 1] - np.pi)) < 0.15).mean()
+    assert up > 0.9, up
