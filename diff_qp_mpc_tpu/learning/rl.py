@@ -610,7 +610,10 @@ def sac_expert_rollouts(env, act_fn, num_traj: int = 300,
 # completes the component: the massively-parallel on-policy actor-critic
 # recipe those classes come from (Gurumurthy et al., "Practical Critic
 # Gradient based Actor Critic", L4DC 2023) —
-#   * many parallel envs, one synchronized step per iteration;
+#   * many parallel envs, one synchronized step per iteration (the role
+#     of the reference's cgac_env.py PytorchEnv wrapper — isaacgym-style
+#     obs/progress buffers with auto-reset, cgac_env.py:20-96 — here
+#     native: Env.reset_where + the batched step);
 #   * a SHORT on-policy FIFO buffer (the freshest window of transitions,
 #     not SAC's uniform 200k replay);
 #   * twin-Q critics with entropy-regularized TD targets;
