@@ -1,10 +1,10 @@
-"""RL expert training (PPO + SAC), JAX-native (the deqmpc/ppo_train.py slot).
+"""RL expert training (PPO + SAC + CGAC), JAX-native (deqmpc/ppo_train.py slot).
 
 The reference ships torch PPO/SAC/CGAC infrastructure but only *uses* it to
 load pre-trained checkpoints for expert-data generation
 (datagen.py:145-276); its swing-up experts are SAC/CGAC policies
 (ppo_train.py:213-260 GaussianPolicy, :59-211 CGACGaussianPolicy +
-CGACRunningMeanStd). Here both algorithms are rebuilt fully-jitted:
+CGACRunningMeanStd). Here all three are rebuilt fully-jitted:
 
 * PPO — clipped surrogate + GAE; rollouts are a lax.scan over env.step, so
   collection + update is one XLA program per iteration.
