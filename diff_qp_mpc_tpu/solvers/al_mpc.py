@@ -55,6 +55,10 @@ class ALConfig:
     kernel: str = "auto"
     # run Pallas kernels in interpreter mode (CPU testing of the fused path)
     interpret: bool = False
+    # unrolled line-search candidate sweep in the fused kernel (bitwise-
+    # identical results; overlaps transcendental latency across candidates
+    # — measured 1.2x on v5e, benchmarks/roofline_fused.py)
+    ls_unroll: bool = False
 
 
 def warm_start(lam: Lambdas, rho: Array, cost_start: Array, state: ALState
@@ -327,7 +331,7 @@ def _fused_core(dynamics, cfg, bounds_t, cost, x0, x_init, u_init):
         dynamics, cost.Cd, cost.c, x0, u_lo, u_hi,
         x_init, u_init, al_iter=cfg.al_iter, n_newton=cfg.n_newton,
         n_ls=cfg.n_ls, rho_factor=cfg.rho_factor, rho_max=cfg.rho_max,
-        reg=cfg.reg, interpret=cfg.interpret)
+        reg=cfg.reg, interpret=cfg.interpret, ls_unroll=cfg.ls_unroll)
     return xu, res, lamd, lamh, laml
 
 
@@ -464,6 +468,7 @@ def _fused_stateful_core(dynamics, cfg, bounds_t, cost, x0, state,
             al_iter=1, n_newton=cfg.n_newton, n_ls=cfg.n_ls,
             rho_factor=cfg.rho_factor, rho_max=cfg.rho_max,
             reg=cfg.reg, interpret=cfg.interpret,
+            ls_unroll=cfg.ls_unroll,
             lam_dyn=lam.lam_dyn, lam_hi=lam.lam_hi, lam_lo=lam.lam_lo,
             rho0=rho[:, 0])
         lam = Lambdas(lam_dyn=lamd,
