@@ -75,8 +75,9 @@ def evaluate_policy(env, policy, params, episodes: int = 64,
         # companion metric; see Env.goal_error) — also updated for
         # still-alive episodes so truncation records the last state
         ge = np.asarray(env.goal_error(state.x))
-        live_or_new = newly | ~ever_done
-        final_goal_err = np.where(live_or_new, ge, final_goal_err)
+        # done-this-step episodes are still in ~ever_done here (ever_done
+        # is OR-ed with d only below), so this covers live AND just-ended
+        final_goal_err = np.where(~ever_done, ge, final_goal_err)
         ever_success |= (succ & ~ever_done)
         ever_done |= d
         if ever_done.all():

@@ -726,7 +726,11 @@ def make_cgac(env, cfg: CGACConfig):
         k_idx, k_act, k_next = jax.random.split(key, 3)
         n_valid = st.filled * cfg.n_envs
         flat_idx = jax.random.randint(k_idx, (cfg.batch_size,), 0, n_valid)
-        t_idx, e_idx = flat_idx // cfg.n_envs, flat_idx % cfg.n_envs
+        # the roll-append buffer stores valid transitions at the END
+        # ([window-filled, window)); offset the time index so a part-full
+        # window never samples its zero-initialized prefix
+        t_idx = cfg.window - st.filled + flat_idx // cfg.n_envs
+        e_idx = flat_idx % cfg.n_envs
         obs = norm_obs(st, st.buf_obs[t_idx, e_idx])
         nxt = norm_obs(st, st.buf_next[t_idx, e_idx])
         act = st.buf_act[t_idx, e_idx]
