@@ -141,28 +141,47 @@ def measure_ours():
     cf = jnp.zeros((bszf, T, n), jnp.float32)
     u_init = jnp.zeros((bszf, T, nu), jnp.float32)
     x_init = model.rollout(x0f, u_init)
-    def timed_fused(ls_unroll):
-        runf = lambda: fused_al_solve(
-            model, Cdf, cf, x0f, jnp.array([-3.0], jnp.float32),
-            jnp.array([3.0], jnp.float32), x_init, u_init,
-            al_iter=2, n_newton=4, n_ls=20, rho_max=1e4, reg=1e-5,
-            ls_unroll=ls_unroll)
-        w, *_, resf = runf()
-        w.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(N_REP):
-            w, *_, resf = runf()
-        w.block_until_ready()
-        return (time.perf_counter() - t0) / N_REP, resf
+    from benchmarks.timing import per_call_latency, steady_state
+
+    # bounds as HOST arrays, hoisted out of the timed call: fused_al_solve
+    # converts them with np.asarray to bake static clip constants, and a
+    # fresh DEVICE array created inside the loop forces a device->host
+    # sync per dispatch — which serializes the pipeline behind every
+    # previously enqueued solve (measured: 4.3M solves/s with the per-call
+    # jnp.array vs 29.8M hoisted, same kernel)
+    u_lo_np = np.array([-3.0], np.float32)
+    u_hi_np = np.array([3.0], np.float32)
+
+    def make_runner(ls_unroll):
+        def runf():
+            w, *_ , resf = fused_al_solve(
+                model, Cdf, cf, x0f, u_lo_np, u_hi_np, x_init, u_init,
+                al_iter=2, n_newton=4, n_ls=20, rho_max=1e4, reg=1e-5,
+                ls_unroll=ls_unroll)
+            runf.res = resf
+            return w
+        return runf
 
     # both line-search schedules: the fori_loop sweep and the unrolled
     # sweep (ls_unroll=True overlaps transcendental latency across
     # candidates — bitwise-identical results, tests/test_al_fused.py);
-    # headline whichever is faster on this chip
-    per_f, resf = timed_fused(False)
-    per_u, resu = timed_fused(True)
-    perf, resf, ls_unroll_won = ((per_u, resu, True) if per_u < per_f
-                                 else (per_f, resf, False))
+    # headline whichever is faster on this chip. Timing protocol:
+    # median-of-5 interleaved pipelined windows (benchmarks/timing.py) —
+    # round 3 published a single-window number taken under driver CPU
+    # load (3.85M solves/s) that disagreed 4.7x+ with the idle-machine
+    # device throughput; the median-of-windows protocol plus the recorded
+    # spread/loadavg makes that failure mode visible instead of silent.
+    run_f, run_u = make_runner(False), make_runner(True)
+    run_f().block_until_ready()
+    run_u().block_until_ready()
+    st_f = steady_state(run_f, n_rep=N_REP, n_outer=5)
+    st_u = steady_state(run_u, n_rep=N_REP, n_outer=5)
+    per_f = st_f["per_call_s_median"]
+    per_u = st_u["per_call_s_median"]
+    perf, runner, st, ls_unroll_won = (
+        (per_u, run_u, st_u, True) if per_u < per_f
+        else (per_f, run_f, st_f, False))
+    resf = runner.res
     fused_sps = bszf / perf
     if fused_sps > best["solves_per_s"]:
         best = {"solves_per_s": fused_sps, "bsz": bszf,
@@ -172,24 +191,28 @@ def measure_ours():
     best.setdefault("path", "scan+pallas_kkt")
     best["scan_path_solves_per_s"] = round(sps, 1)
     best["fused_ls_unroll_speedup"] = round(per_f / per_u, 3)
+    best["timing_spread_max_over_min"] = round(st["spread_max_over_min"], 3)
+    best["loadavg1_at_measure"] = round(st["loadavg1"], 2)
+    # sync-every-call latency: dominated by the axon tunnel round-trip
+    # (~25-30 ms); reported as dispatch context, never as throughput
+    best["dispatch_latency_ms"] = round(per_call_latency(runner) * 1e3, 2)
 
     # ---- throughput at MATCHED ACCURACY (converged budget al_iter=8 —
     # the budget at which the control-seq error below is measured), so the
     # headline unconverged-budget number is reported alongside an
     # accuracy-matched operating point (VERDICT r1 weak #2) ----
-    runc = lambda: fused_al_solve(
-        model, Cdf, cf, x0f, jnp.array([-3.0], jnp.float32),
-        jnp.array([3.0], jnp.float32), x_init, u_init,
-        al_iter=8, n_newton=4, n_ls=20, rho_max=1e6, reg=1e-6)
-    wc, *_, resc = runc()
-    wc.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(N_REP):
-        wc, *_, resc = runc()
-    wc.block_until_ready()
-    perc = (time.perf_counter() - t0) / N_REP
+    def runc():
+        wc, *_, resc = fused_al_solve(
+            model, Cdf, cf, x0f, u_lo_np, u_hi_np, x_init, u_init,
+            al_iter=8, n_newton=4, n_ls=20, rho_max=1e6, reg=1e-6,
+            ls_unroll=ls_unroll_won)
+        runc.res = resc
+        return wc
+    runc().block_until_ready()
+    stc = steady_state(runc, n_rep=N_REP, n_outer=5)
+    perc = stc["per_call_s_median"]
     best["solves_per_s_at_converged_budget"] = round(bszf / perc, 1)
-    best["dyn_res_at_converged_budget"] = float(jnp.mean(resc))
+    best["dyn_res_at_converged_budget"] = float(jnp.mean(runc.res))
 
     # ---- analytic FLOP count → speed-of-light fractions against BOTH
     # candidate ceilings (VPU f32 and HBM); the full bound attribution
@@ -200,8 +223,11 @@ def measure_ours():
 
     fl = fused_al_flops(T=T, nx=nx, nu=nu, al_iter=2, n_newton=4, n_ls=20)
     achieved = best["solves_per_s"] * fl
-    hbm_bytes = 4 * (2 * T * n + nx + T * nx + T * nu
-                     + T * n + (T - 1) * nx + 2 * T * nu + 1)
+    # inputs: Cd, c, x0, x_init, u_init + λ/ρ warm starts (lam_dyn, lam_hi,
+    # lam_lo, rho0); outputs: xu, lam_dyn, lam_hi, lam_lo, res_norm
+    hbm_bytes = 4 * ((2 * T * n + nx + T * nx + T * nu
+                      + (T - 1) * nx + 2 * T * nu + 1)       # inputs
+                     + (T * n + (T - 1) * nx + 2 * T * nu + 1))  # outputs
     best["kernel_flops_per_solve"] = fl
     best["kernel_achieved_gflops"] = round(achieved / 1e9, 1)
     best["kernel_sol_frac_vpu"] = round(achieved / V5E_VPU_F32_PEAK, 4)
@@ -385,6 +411,10 @@ def main():
         "kernel_sol_frac_vpu": ours.get("kernel_sol_frac_vpu", 0),
         "kernel_sol_frac_hbm": ours.get("kernel_sol_frac_hbm", 0),
         "fused_ls_unroll_speedup": ours.get("fused_ls_unroll_speedup", 0),
+        "timing_spread_max_over_min":
+            ours.get("timing_spread_max_over_min", 0),
+        "loadavg1_at_measure": ours.get("loadavg1_at_measure", -1),
+        "dispatch_latency_ms": ours.get("dispatch_latency_ms", 0),
     }))
 
 
