@@ -66,6 +66,23 @@ ROBOTS = {
         x0_center=[0.0] * 12, x0_spread=0.05,
         fused_bsz=8192,
     ),
+    # 2-link cartpole stabilization at the both-links-up equilibrium.
+    # Reference model: envs_v1.py:226-330 TwoLinkCartpoleDynamics, which
+    # measures θ₁ from HORIZONTAL (upright = π/2) with θ₂ relative; ours
+    # measures θ₁ from DOWN (upright = π) — the same dynamics under a
+    # pure coordinate translation θ₁ → θ₁ − π/2 (verified to 1.4e-13,
+    # tests/test_cartpole2l_reference_golden.py), applied via ref_offset
+    # to x0/goal before the reference runs. Controls are identical, so
+    # control sequences compare directly.
+    "cartpole2l": dict(
+        nx=6, nu=1,
+        Cd=[1.0, 10.0, 10.0, 0.1, 0.1, 0.1, 1e-4],
+        goal=[0.0, np.pi, 0.0, 0.0, 0.0, 0.0, 0.0],
+        u_lo=[-5.0], u_hi=[5.0],
+        x0_center=[0.0, np.pi, 0.0, 0.0, 0.0, 0.0], x0_spread=0.05,
+        ref_offset=[0.0, np.pi / 2, 0.0, 0.0, 0.0, 0.0],
+        fused_bsz=32768,
+    ),
 }
 
 
@@ -96,10 +113,15 @@ def measure_reference(robot):
     nx, nu = s["nx"], s["nu"]
     n = nx + nu
 
-    if robot == "cartpole1l":
-        from envs_v1 import OneLinkCartpoleDynamics
+    if robot in ("cartpole1l", "cartpole2l"):
+        if robot == "cartpole1l":
+            from envs_v1 import OneLinkCartpoleDynamics
 
-        dyn = OneLinkCartpoleDynamics().double()
+            dyn = OneLinkCartpoleDynamics().double()
+        else:
+            from envs_v1 import TwoLinkCartpoleDynamics
+
+            dyn = TwoLinkCartpoleDynamics().double()
 
         class Jac(torch.nn.Module):
             def forward(self, x, u):
@@ -123,13 +145,19 @@ def measure_reference(robot):
     goal = torch.tensor(s["goal"]).double()
     u_lo = torch.tensor(s["u_lo"]).double()
     u_hi = torch.tensor(s["u_hi"]).double()
+    # state-convention translation into the reference model's coordinates
+    # (pure coordinate shift: same optimization problem, same controls)
+    off = torch.tensor(np.concatenate(
+        [np.asarray(s.get("ref_offset", np.zeros(nx))), np.zeros(nu)])
+    ).double()
+    goal = goal - off
 
     def run(bsz, n_rep, al_iter):
         ctrl = al_mpc_ref.MPC(
             nx, nu, T, u_lower=u_lo, u_upper=u_hi, al_iter=al_iter,
             exit_unconverged=False, eps=1e-5, n_batch=bsz, backprop=False,
             verbose=0, solver_type="dense", dtype=torch.float64)
-        x0 = torch.tensor(_x0(robot, bsz)).double()
+        x0 = torch.tensor(_x0(robot, bsz)).double() - off[:nx]
         Q = torch.diag(Cd).repeat(bsz, T, 1, 1)
         p = (-Cd * goal).repeat(bsz, T, 1)
         cost = al_utils_ref.QuadCost(Q, p)
@@ -151,12 +179,13 @@ def measure_reference(robot):
         best_sps = max(best_sps, sps)
     _, u_ref = run(ACC_BSZ, 1, CONV_AL_ITER)
 
-    # dynamics probe for the cross-check row
-    xp = torch.tensor(_x0(robot, 32, seed=7)).double()
+    # dynamics probe for the cross-check row (stored in REF coordinates)
+    xp = torch.tensor(_x0(robot, 32, seed=7)).double() - off[:nx]
     up = torch.tensor(
         np.random.RandomState(7).uniform(s["u_lo"], s["u_hi"], (32, nu)))
     with torch.no_grad():
-        fp = dyn(xp, up) if robot == "cartpole1l" else dyn(xp, up.double())
+        fp = dyn(xp, up.double()) if robot.startswith("cartpole") \
+            else dyn(xp, up.double())
     return {"solves_per_s": best_sps, "u_ref": u_ref,
             "probe_x": xp.numpy(), "probe_u": up.numpy(),
             "probe_f": fp.numpy()}
@@ -171,18 +200,21 @@ def measure_ours(robot, ref):
     import jax.numpy as jnp
 
     import diff_qp_mpc_tpu as dq
-    from diff_qp_mpc_tpu.models import Cartpole1L, RexQuadrotor
+    from diff_qp_mpc_tpu.models import Cartpole1L, Cartpole2L, RexQuadrotor
     from diff_qp_mpc_tpu.ops.al_fused_pallas import fused_al_solve
     from diff_qp_mpc_tpu.solvers import al_mpc
 
     s = ROBOTS[robot]
     nx, nu = s["nx"], s["nu"]
     n = nx + nu
-    model = Cartpole1L() if robot == "cartpole1l" else RexQuadrotor()
+    model = {"cartpole1l": Cartpole1L, "cartpole2l": Cartpole2L,
+             "quadrotor": RexQuadrotor}[robot]()
+    off = np.asarray(s.get("ref_offset", np.zeros(nx)), np.float32)
 
-    # dynamics cross-check on the reference's probe points
-    f_ours = model(jnp.asarray(ref["probe_x"], jnp.float32),
-                   jnp.asarray(ref["probe_u"], jnp.float32))
+    # dynamics cross-check on the reference's probe points (probe stored
+    # in REF coordinates; evaluate ours in OUR coordinates and map back)
+    f_ours = model(jnp.asarray(ref["probe_x"] + off, jnp.float32),
+                   jnp.asarray(ref["probe_u"], jnp.float32)) - off
     dyn_err = float(np.max(np.abs(np.asarray(f_ours) - ref["probe_f"])))
 
     Cd_row = jnp.asarray(s["Cd"], jnp.float32)
@@ -197,17 +229,25 @@ def measure_ours(robot, ref):
     u_init = jnp.broadcast_to(
         jnp.asarray(s["goal"][nx:], jnp.float32), (bsz, T, nu))
     x_init = model.rollout(x0, u_init)
-    run = lambda: fused_al_solve(
-        model, Cd, c, x0, u_lo, u_hi, x_init, u_init,
-        rho_max=1e4, reg=1e-5, **BUDGET)
-    w, *_, res = run()
-    w.block_until_ready()
-    n_rep = 10
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        w, *_, res = run()
-    w.block_until_ready()
-    per = (time.perf_counter() - t0) / n_rep
+    from benchmarks.timing import steady_state
+
+    # host-side bound arrays hoisted out of the timed call (a fresh device
+    # array inside the loop would force a D2H sync per dispatch and
+    # serialize the pipeline — see bench.py)
+    u_lo_np = np.asarray(s["u_lo"], np.float32)
+    u_hi_np = np.asarray(s["u_hi"], np.float32)
+
+    def run():
+        w, *_, r = fused_al_solve(
+            model, Cd, c, x0, u_lo_np, u_hi_np, x_init, u_init,
+            rho_max=1e4, reg=1e-5, **BUDGET)
+        run.res = r
+        return w
+
+    run().block_until_ready()
+    timing = steady_state(run, n_rep=10, n_outer=5)
+    per = timing["per_call_s_median"]
+    res = run.res
     sps = bsz / per
 
     # converged-budget accuracy on the shared problem set (scan path)
@@ -233,6 +273,9 @@ def measure_ours(robot, ref):
         "control_seq_median_rel_l2_err_vs_ref": round(
             float(np.median(rel)), 4),
         "dynamics_probe_max_abs_err": dyn_err,
+        "timing_spread_max_over_min": round(
+            timing["spread_max_over_min"], 3),
+        "loadavg1_at_measure": round(timing["loadavg1"], 2),
         "platform": jax.devices()[0].platform,
     }
 

@@ -100,14 +100,24 @@ class _CartpoleEnvBase(Env):
             np.full(1, -self.u_bounds), np.full(1, self.u_bounds))
         self.Qlqr = jnp.ones((self.nx,))
         self.Rlqr = jnp.full((self.nu,), 1e-8)
-        # goal: cart at 0, poles upright (θ = π), at rest
+        # goal: cart at 0, every link straight UP, at rest. Joint angles
+        # after the first are RELATIVE (models/cartpole.py Cartpole2L), so
+        # the all-links-up configuration is θ = (π, 0, ...), matching the
+        # reference's 2-link success set — my_envs/cartpole.py:2 ("at
+        # upright all joint angles are 0" in its from-up convention) and
+        # :244-255 (done() checks both joints near 0 mod 2π). Until r4
+        # this goal was (π, π, ...), which under a relative second joint
+        # folds link 2 back DOWN — a different, easier equilibrium.
         self.goal = jnp.concatenate([
-            jnp.zeros((1,)), jnp.full((nq - 1,), np.pi), jnp.zeros((nq,))])
+            jnp.zeros((1,)), jnp.array([np.pi]), jnp.zeros((nq - 2,)),
+            jnp.zeros((nq,))])
 
     def _delta_upright(self, x):
+        # absolute link angles = cumulative sum of the relative joint
+        # angles; every link must point up (abs angle π from down)
         nq = self.nq
-        th = x[..., 1:nq]
-        return jnp.max(jnp.abs(angle_normalize(th - np.pi)), axis=-1)
+        th_abs = jnp.cumsum(x[..., 1:nq], axis=-1)
+        return jnp.max(jnp.abs(angle_normalize(th_abs - np.pi)), axis=-1)
 
     def _sample_init(self, key, bsz):
         nq = self.nq
@@ -115,7 +125,8 @@ class _CartpoleEnvBase(Env):
             high = self.init_scale * jnp.concatenate(
                 [jnp.array([0.1]), jnp.full((nq - 1,), 0.05), jnp.full((nq,), 0.05)])
             offset = jnp.concatenate(
-                [jnp.zeros((1,)), jnp.full((nq - 1,), np.pi), jnp.zeros((nq,))])
+                [jnp.zeros((1,)), jnp.array([np.pi]), jnp.zeros((nq - 2,)),
+                 jnp.zeros((nq,))])
             return offset + jax.random.uniform(
                 key, (bsz, self.nx), minval=-high, maxval=high)
         high = jnp.concatenate([jnp.full((nq,), np.pi), jnp.full((nq,), np.pi)])
@@ -152,7 +163,10 @@ class Cartpole1LEnv(_CartpoleEnvBase):
 class Cartpole2LEnv(_CartpoleEnvBase):
     def __init__(self, stabilization: bool = False, dt: float = 0.05,
                  init_scale: float = 1.0):
-        self.model = Cartpole2L(dt=dt, max_force=250.0)
+        # the reference's LIVE cp2 training robot (the CasADi C package —
+        # my_envs/cartpole.py:27-38 selects it by nx; u_bounds 250 per
+        # my_envs/cartpole.py:62), decoded exactly in models/cartpole.py
+        self.model = Cartpole2L.pkg(dt=dt, max_force=250.0)
         self.u_bounds = 250.0
         self.max_steps = 300
         self.spec_id = "Cartpole2l-v0" + ("-stabilize" if stabilization else "")

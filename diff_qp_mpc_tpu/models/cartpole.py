@@ -84,13 +84,29 @@ class Cartpole1L(DynamicsModel):
 
 
 class Cartpole2L(DynamicsModel):
-    """State (x, θ₁, θ₂, ẋ, θ̇₁, θ̇₂) with θ₂ relative to link 1; reference
-    params envs_v1.py:233-239 (dt=0.05, max_force=5 [sic — the C++ package
-    env uses larger], M=5, m₁=m₂=1, l₁=l₂=1, g=9.81)."""
+    """State (x, θ₁, θ₂, ẋ, θ̇₁, θ̇₂), θ from DOWN, θ₂ relative to link 1.
+
+    The reference ships TWO distinct 2-link cartpoles; both are decoded
+    here exactly (round-4 fit, max qdd err ≤ 6e-6 on random states):
+
+    - default (``com=0.5, link_inertia=0``): the analytic torch model
+      `envs_v1.py:226-330` — point masses at link MIDPOINTS, cart M=5,
+      m₁=m₂=1, l₁=l₂=1, g=9.81, RK4. (envs_v1 measures angles from
+      horizontal with upright = π/2; the from-down form here is the same
+      dynamics under θ = a + π/2, verified to 1.4e-13.)
+    - ``Cartpole2L.pkg()`` (``M=10, com=1, link_inertia=1``): the CasADi
+      C package `my_envs/cartpole2l/src/generated_dynamics.c` — the
+      reference's LIVE cp2 training env (my_envs/cartpole.py:27-38
+      selects it) — point mass 1 at each link TIP plus rotational
+      inertia m·l² about the link's absolute angle, cart M=10, RK4
+      (integrator identified to 1e-16). Until round 4 this class used
+      tip masses with M=5, which matched NEITHER reference model.
+    """
 
     def __init__(self, dt: float = 0.05, M: float = 5.0, m1: float = 1.0,
                  m2: float = 1.0, l1: float = 1.0, l2: float = 1.0,
-                 g: float = 9.81, max_force: float = 500.0):
+                 g: float = 9.81, max_force: float = 500.0,
+                 com: float = 0.5, link_inertia: float = 0.0):
         self.dt = dt
         self.M = M
         self.m1 = m1
@@ -99,30 +115,38 @@ class Cartpole2L(DynamicsModel):
         self.l2 = l2
         self.g = g
         self.max_force = max_force
+        self.com = com
+        self.link_inertia = link_inertia
         self.nx = 6
         self.nu = 1
         self.nq = 3
 
         M_, m1_, m2_, l1_, l2_, g_ = M, m1, m2, l1, l2, g
+        r1_, r2_ = com * l1, com * l2          # mass point along each link
+        I1_ = I2_ = link_inertia               # about the ABSOLUTE rate
 
         def kinetic(q, qd):
             th1, th2 = q[1], q[2]
             xd, w1, w2 = qd[0], qd[1], qd[2]
             w12 = w1 + w2  # absolute rate of link 2
-            # link-1 endpoint velocity
-            v1x = xd + l1_ * w1 * jnp.cos(th1)
-            v1y = l1_ * w1 * jnp.sin(th1)
-            # link-2 endpoint velocity
-            v2x = v1x + l2_ * w12 * jnp.cos(th1 + th2)
-            v2y = v1y + l2_ * w12 * jnp.sin(th1 + th2)
+            # link-1 mass-point velocity (at r1 along the link)
+            v1x = xd + r1_ * w1 * jnp.cos(th1)
+            v1y = r1_ * w1 * jnp.sin(th1)
+            # joint-2 carrier (link-1 tip, full length)
+            t1x = xd + l1_ * w1 * jnp.cos(th1)
+            t1y = l1_ * w1 * jnp.sin(th1)
+            # link-2 mass-point velocity
+            v2x = t1x + r2_ * w12 * jnp.cos(th1 + th2)
+            v2y = t1y + r2_ * w12 * jnp.sin(th1 + th2)
             return (0.5 * M_ * xd**2
                     + 0.5 * m1_ * (v1x**2 + v1y**2)
-                    + 0.5 * m2_ * (v2x**2 + v2y**2))
+                    + 0.5 * m2_ * (v2x**2 + v2y**2)
+                    + 0.5 * I1_ * w1**2 + 0.5 * I2_ * w12**2)
 
         def potential(q):
             th1, th2 = q[1], q[2]
-            h1 = -l1_ * jnp.cos(th1)
-            h2 = h1 - l2_ * jnp.cos(th1 + th2)
+            h1 = -r1_ * jnp.cos(th1)
+            h2 = -l1_ * jnp.cos(th1) - r2_ * jnp.cos(th1 + th2)
             return g_ * (m1_ * h1 + m2_ * h2)
 
         def input_map(q, u):
@@ -132,6 +156,12 @@ class Cartpole2L(DynamicsModel):
         self._ode_parts = lagrangian_ode_parts(
             kinetic, potential,
             lambda q, u: (u[0], q[0] * 0.0, q[0] * 0.0), self.nq)
+
+    @classmethod
+    def pkg(cls, dt: float = 0.05, max_force: float = 500.0):
+        """The reference's live cp2 robot (CasADi C package), exactly."""
+        return cls(dt=dt, M=10.0, com=1.0, link_inertia=1.0,
+                   max_force=max_force)
 
     def step(self, x: Array, u: Array) -> Array:
         return rk4(self._ode, x, u, self.dt)
@@ -153,7 +183,7 @@ class Cartpole2L(DynamicsModel):
 
     def __hash__(self):
         return hash((type(self), self.dt, self.M, self.m1, self.m2,
-                     self.l1, self.l2, self.g))
+                     self.l1, self.l2, self.g, self.com, self.link_inertia))
 
 
 class CartpoleCosSin(DynamicsModel):
