@@ -208,9 +208,24 @@ def make_train_step(policy, optimizer, args):
 
         (loss, (loss_end, dyn_res)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)
+        # numerical-health guard: skip the update on a non-finite gradient
+        # instead of letting it poison the params. Without this, one inf
+        # leaf reaches clip_by_global_norm, which scales by max_norm/inf=0
+        # and turns the inf entries into 0*inf = NaN inside Adam — the
+        # exact failure that killed the first quadrotor fused-f32 run at
+        # iter 1800 (reference-class INACC_ERR semantics: keep the best
+        # iterate, never commit a diverged one, batch_LU.py:83-148).
+        finite = jnp.isfinite(gnorm)
+        grads = jax.tree.map(
+            lambda gx: jnp.where(finite, gx, jnp.zeros_like(gx)), grads)
+        new_updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        opt_state = jax.tree.map(
+            lambda old, new: jnp.where(finite, new, old),
+            opt_state, new_opt_state)
+        updates = jax.tree.map(
+            lambda ux: jnp.where(finite, ux, jnp.zeros_like(ux)), new_updates)
+        params = optax.apply_updates(params, updates)
         return params, opt_state, loss, loss_end, dyn_res, gnorm
 
     return step

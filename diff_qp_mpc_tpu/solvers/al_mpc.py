@@ -190,6 +190,24 @@ def _al_core(dynamics: DynamicsModel, cfg: ALConfig, cost: DiagQuadCost,
     return xu, new_state, stats, D, O
 
 
+def _sanitize_implicit_grad(g):
+    """Drop batch elements whose implicit H⁻¹ solve is numerically garbage.
+
+    ρ at rho_max makes cond(H) ≈ ρ/reg; the f32 Cholesky then emits
+    NaN/inf — or finite-but-meaningless huge values shortly BEFORE it
+    emits inf. A legitimate solve is bounded by ||ct||/λ_min(H) ≤
+    ||ct||/reg ≈ 1e5 at the default budgets; anything orders beyond that
+    is breakdown, and one singular element must not poison the batch
+    gradient (reference-class INACC_ERR semantics, batch_LU.py:83-148).
+    Without the magnitude guard this is exactly how the r4 quadrotor
+    fused-f32 run died: finite ~1e30 elements → inf downstream →
+    clip_by_global_norm scales by 10/inf = 0 → 0·inf = NaN into Adam.
+    """
+    g = jnp.where(jnp.isfinite(g), g, 0.0)
+    bad = jnp.max(jnp.abs(g), axis=(1, 2), keepdims=True) > 1e8
+    return jnp.where(bad, 0.0, g)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _al_solve_diff(dynamics, cfg, cost, x0, bounds, state, x_init, u_init):
     xu, new_state, stats, _, _ = _al_core(
@@ -220,10 +238,7 @@ def _al_solve_bwd(dynamics, cfg, residuals_saved, cotangents):
     from diff_qp_mpc_tpu.ops import newton_al as newton_al_mod
 
     g = -newton_al_mod.kkt_solver(cfg.kernel)(D, O, ct_xu, cfg.reg)
-    # drop (not propagate) batch elements whose implicit system is beyond
-    # f32 (ρ at rho_max makes cond(H) ≈ ρ/reg; the f32 Cholesky then emits
-    # NaN/inf): one singular element must not poison the batch gradient
-    g = jnp.where(jnp.isfinite(g), g, 0.0)
+    g = _sanitize_implicit_grad(g)
     dCd = g * xu  # diag-Q gradient (al_utils.py:482)
     dc = g  # (al_utils.py:484)
 
@@ -376,7 +391,7 @@ def _fused_solve_bwd(dynamics, cfg, bounds_t, saved, cts):
     nx0 = x0.shape[-1]
     ct_xu = ct_xu.at[:, 0, :nx0].set(0.0)
     g = -newton_al.kkt_solver(cfg.kernel)(D, O, ct_xu, cfg.reg)
-    g = jnp.where(jnp.isfinite(g), g, 0.0)  # see _al_solve_bwd
+    g = _sanitize_implicit_grad(g)
     d_cost = dataclasses.replace(
         jax.tree.map(jnp.zeros_like, cost),
         Cd=(g * xu).astype(cost.Cd.dtype), c=g.astype(cost.c.dtype))
@@ -524,7 +539,7 @@ def _fused_stateful_bwd(dynamics, cfg, bounds_t, saved, cts):
     nx0 = x0.shape[-1]
     ct_xu = ct_xu.at[:, 0, :nx0].set(0.0)
     g = -newton_al.kkt_solver(cfg.kernel)(D, O, ct_xu, cfg.reg)
-    g = jnp.where(jnp.isfinite(g), g, 0.0)  # see _al_solve_bwd
+    g = _sanitize_implicit_grad(g)
     d_cost = dataclasses.replace(
         jax.tree.map(jnp.zeros_like, cost),
         Cd=(g * xu).astype(cost.Cd.dtype), c=g.astype(cost.c.dtype))
