@@ -136,6 +136,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def make_policy(args, env):
     from diff_qp_mpc_tpu.solvers.sqp_mpc import SQPConfig
+    from diff_qp_mpc_tpu.solvers.trajqp import TrajQPConfig
 
     solver_type = getattr(args, "solver_type", "al")
     if solver_type not in ("al", "ip"):
@@ -153,7 +154,14 @@ def make_policy(args, env):
         u_hi=tuple(float(v) for v in env.action_space.high),
         cfg=al_mpc.ALConfig(al_iter=args.qp_iter),
         solver_type=solver_type,
-        sqp_cfg=SQPConfig(qp_iter=args.qp_iter),
+        # --fused on the ip path routes the ENTIRE Mehrotra IPM through
+        # the whole-solver Pallas kernel (ops/trajqp_fused_pallas);
+        # otherwise the scan IPM with the Pallas Riccati KKT kernel
+        sqp_cfg=SQPConfig(
+            qp_iter=args.qp_iter,
+            qp=(TrajQPConfig(kernel="fused")
+                if (solver_type == "ip" and getattr(args, 'fused', False))
+                else TrajQPConfig())),
         use_fused=getattr(args, 'fused', False),
         carry_state={"auto": None, "on": True, "off": False}[
             getattr(args, 'solver_carry', 'auto')],

@@ -26,6 +26,7 @@ COMMITTED = {
     "expert_traj_mpc-RexQuadrotor-v0_new.pkl",
     "expert_traj_mpc-Pendulum-v0-stabilize_new.pkl",
     "expert_traj_mpc-Cartpole1l-v0-stabilize_new.pkl",
+    "expert_traj_mpc-Cartpole2l-v0-stabilize_new.pkl",
     "expert_traj_sac-Cartpole1l-v0_new.pkl",
     "expert_traj_cgac-Pendulum-v0_new.pkl",
     "expert_traj_cgac-Cartpole1l-v0_new.pkl",
@@ -86,6 +87,20 @@ def test_mpc_stabilize_sets():
         finals = [t[-1][0] for t in trajs]
         ok = np.mean([goal_check(np.asarray(s, float)) for s in finals])
         assert ok > 0.9, (name, ok)
+
+
+def test_mpc_cartpole2l_stabilize_quality():
+    """cp2 stabilize set (regenerated r4 under the CORRECTED both-links-up
+    goal — see envs/__init__.py _CartpoleEnvBase.goal): every final state
+    is judged by the cumulative-angle upright metric, so a dataset
+    stabilizing the old folded (π, π) configuration fails here."""
+    trajs = load("expert_traj_mpc-Cartpole2l-v0-stabilize_new.pkl")
+    check_format(trajs, 6, 1)
+    finals = np.array([t[-1][0] for t in trajs])
+    th_abs = np.cumsum(finals[:, 1:3], axis=-1)
+    err = np.abs(angle_normalize(th_abs - np.pi)).max(-1)
+    assert np.median(err) < 0.05, np.median(err)
+    assert (err < 0.2).mean() > 0.9, (err < 0.2).mean()
 
 
 def test_sac_cartpole1l_swingup_quality():
