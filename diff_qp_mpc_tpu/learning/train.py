@@ -64,6 +64,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrain_iters", type=int, default=1000)
     p.add_argument("--qp_iter", type=int, default=2,
                    help="AL outer iterations (reference al_iter)")
+    p.add_argument("--rho_max", type=float, default=None,
+                   help="cap on the AL penalty rho (default: ALConfig's "
+                        "1e6). f32 TPU training of stiff robots needs a "
+                        "lower cap: with solver_carry, rho saturates "
+                        "across the DEQ iterations and cond(H) ~ rho/reg "
+                        "exceeds f32's ~1e7 range — Newton directions "
+                        "degrade to noise, the line search rejects them, "
+                        "and every tracking solve past the first two DEQ "
+                        "iterations returns its (infeasible) proposal "
+                        "init. Measured on the quadrotor: rho_max 1e6 "
+                        "stalls at dyn_res ~0.1 in f32 (scan AND fused) "
+                        "where x64 reaches 1e-8; capping restores "
+                        "convergence at every DEQ iteration")
+    p.add_argument("--al_reg", type=float, default=None,
+                   help="Levenberg damping for the AL Newton KKT solves "
+                        "(default: ALConfig's 1e-7); raise together with "
+                        "a lowered --rho_max to bound cond(H) for f32")
     p.add_argument("--tracking_r", type=float, default=None,
                    help="override the tracking-cost control weight R "
                         "(default: env.Rlqr). The cartpole envs ship "
@@ -152,7 +169,10 @@ def make_policy(args, env):
         R=tuple(float(v) for v in R),
         u_lo=tuple(float(v) for v in env.action_space.low),
         u_hi=tuple(float(v) for v in env.action_space.high),
-        cfg=al_mpc.ALConfig(al_iter=args.qp_iter),
+        cfg=al_mpc.ALConfig(al_iter=args.qp_iter, **{
+            k: v for k, v in (
+                ("rho_max", getattr(args, "rho_max", None)),
+                ("reg", getattr(args, "al_reg", None))) if v is not None}),
         solver_type=solver_type,
         # --fused on the ip path routes the ENTIRE Mehrotra IPM through
         # the whole-solver Pallas kernel (ops/trajqp_fused_pallas);

@@ -44,6 +44,10 @@ def main(argv=None):
                         "virtual CPU mesh instead of the single-chip "
                         "scan/pprefix comparison")
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--json", type=str, default=None,
+                   help="append one result record to this JSON file "
+                        "(list of rows keyed by mode/T) — the committed "
+                        "end-to-end artifact for the horizon-scaling claim")
     args = p.parse_args(argv)
 
     if args.tsharded:
@@ -84,12 +88,15 @@ def main(argv=None):
                        u_hi=jnp.asarray([2.0], jnp.float32))
 
     if args.tsharded:
-        run_tsharded(jax, jnp, np, model, cost, x0, bounds, T, nx, nu)
+        row = run_tsharded(jax, jnp, np, model, cost, x0, bounds, T, nx, nu)
+        if args.json:
+            _append_row(args.json, row)
         return
 
     print(f"# long-horizon SQP swing-up: T={T}, bsz=1, "
           f"platform={jax.devices()[0].platform}")
     results = {}
+    rows = []
     for kernel in ("scan", "pprefix"):
         cfg = sqp_mpc.SQPConfig(qp_iter=args.sqp_iter,
                                 qp=TrajQPConfig(kernel=kernel, max_iter=6))
@@ -110,9 +117,37 @@ def main(argv=None):
         print(f"kernel={kernel:8s}  {ms:8.2f} ms/solve   "
               f"final theta={theta_final:+.4f}  qp_resid={float(res.qp_resid.mean()):.2e}"
               f"   peak_mem={peak:.0f} MiB")
+        rows.append(dict(mode=kernel, T=T, sqp_iter=args.sqp_iter,
+                         ms_per_solve=round(ms, 2),
+                         final_theta=round(theta_final, 4),
+                         qp_resid=float(res.qp_resid.mean()),
+                         peak_mem_mib=round(peak, 1),
+                         platform=jax.devices()[0].platform))
     if "scan" in results and "pprefix" in results:
-        print(f"pprefix speedup over scan: "
-              f"{results['scan'] / results['pprefix']:.2f}x")
+        speedup = results["scan"] / results["pprefix"]
+        print(f"pprefix speedup over scan: {speedup:.2f}x")
+        for r in rows:
+            if r["mode"] == "pprefix":
+                r["speedup_over_scan"] = round(speedup, 2)
+    if args.json:
+        for r in rows:
+            _append_row(args.json, r)
+
+
+def _append_row(path, row):
+    import json
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            rows = json.load(f)
+    # replace an existing row with the same (mode, T, platform) key
+    key = (row["mode"], row["T"], row.get("platform"))
+    rows = [r for r in rows
+            if (r["mode"], r["T"], r.get("platform")) != key]
+    rows.append(row)
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"# wrote {path} ({len(rows)} rows)")
 
 
 def run_tsharded(jax, jnp, np, model, cost, x0, bounds, T, nx, nu):
@@ -155,6 +190,9 @@ def run_tsharded(jax, jnp, np, model, cost, x0, bounds, T, nx, nu):
     err = float(jnp.max(jnp.abs(sol.dx - ref.dx)))
     print(f"tsharded solve: {ms:.2f} ms   max|dx - sequential| = {err:.2e}")
     assert err < 1e-4
+    return dict(mode="tsharded", T=T, mesh=list(mesh.shape.values()),
+                ms_per_solve=round(ms, 2), max_abs_err_vs_sequential=err,
+                platform=jax.devices()[0].platform)
 
 
 if __name__ == "__main__":

@@ -295,3 +295,27 @@ def test_reference_torch_checkpoint_adapter():
     x_ref_t = torch.cat([d[..., :1] * 0.05 + tx[:, None, :1], d[..., 1:]], -1)
     np.testing.assert_allclose(np.asarray(z_out), zo.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(x_ref), x_ref_t.numpy(), atol=2e-4)
+
+
+def test_train_cli_rho_budget_flags_reach_solver():
+    """--rho_max/--al_reg plumb through make_policy into the tracker's
+    ALConfig, and evaluate adopts them from a checkpoint's meta (the f32
+    budget fix: carried rho at 1e6 over the DEQ iterations puts cond(H)
+    past f32 range and the quadrotor's tracking solves return their
+    infeasible proposal inits — measured dyn_res ~0.1 vs 2.5e-6 with
+    rho_max 1e4, probe r4)."""
+    from diff_qp_mpc_tpu.learning.train import build_parser, make_policy
+    from diff_qp_mpc_tpu.envs import make_env
+
+    args = build_parser().parse_args(
+        ["--env", "integrator", "--deq", "--rho_max", "1e4",
+         "--al_reg", "1e-6"])
+    env = make_env("integrator")
+    pol = make_policy(args, env)
+    assert pol.tracking.cfg.rho_max == 1e4
+    assert pol.tracking.cfg.reg == 1e-6
+    # defaults stay at ALConfig's values when the flags are omitted
+    args2 = build_parser().parse_args(["--env", "integrator", "--deq"])
+    pol2 = make_policy(args2, env)
+    assert pol2.tracking.cfg.rho_max == al_mpc.ALConfig().rho_max
+    assert pol2.tracking.cfg.reg == al_mpc.ALConfig().reg
