@@ -218,13 +218,22 @@ def solve(dynamics: Union[DynamicsModel, LinDx], cost: Cost, x0: Array,
         return SQPResult(x=res.x[..., :nx], u=res.u, cost=res.cost,
                          alpha=res.alpha, qp_resid=res.qp_resid)
 
-    u = u_init
-    x = x_init if x_init is not None else _rollout(dynamics, jax.lax.stop_gradient(x0), u)
-    w0 = jnp.concatenate([x, u], axis=-1)
-    cost_cur = almerit.compute_cost(dcost, w0)
-
     dcost_ng = jax.lax.stop_gradient(dcost)
     x0_ng = jax.lax.stop_gradient(x0)
+
+    u = u_init
+    # A caller-supplied x_init (e.g. the DEQ proposal in TrackingMPC's ip
+    # path) is warm-start information for the FIRST linearization only.
+    # The line-search baseline must be the FEASIBLE shooting trajectory of
+    # u_init: tracking references are near-zero-cost by construction, so
+    # scoring the (infeasible) proposal itself as the incumbent would
+    # reject every feasible rollout candidate and return the proposal
+    # untouched with u = u_init — the solve would be a no-op exactly when
+    # it is warm-started (the r4 pendulum `--solver_type ip` stall).
+    x_feas = _rollout(dynamics, x0_ng, u)
+    x = x_init if x_init is not None else x_feas
+    cost_cur = almerit.compute_cost(
+        dcost_ng, jnp.concatenate([x_feas, u], axis=-1))
 
     def sqp_iter(carry, _):
         x, u, cost_cur, best_x, best_u, best_cost = carry
@@ -244,18 +253,22 @@ def solve(dynamics: Union[DynamicsModel, LinDx], cost: Cost, x0: Array,
         return (x, u, cost_new, best_x, best_u, best_cost), (alpha, sol.resids)
 
     if cfg.single_qp_solve or cfg.qp_iter == 0:
-        best_x, best_u = x, u
+        # linearize the single QP at the warm start below, but the value
+        # base for the α-blended step must be feasible (see above)
+        best_x, best_u = x_feas, u
+        lin_x, lin_u = x, u
         alphas_last = jnp.ones((bsz,), x.dtype)
         resid_last = jnp.zeros((bsz,), x.dtype)
     else:
-        init = (x, u, cost_cur, x, u, cost_cur)
+        init = (x, u, cost_cur, x_feas, u, cost_cur)
         (_, _, _, best_x, best_u, _), (alphas, resids) = jax.lax.scan(
             sqp_iter, init, None, length=cfg.qp_iter)
         best_x, best_u = jax.lax.stop_gradient((best_x, best_u))
+        lin_x, lin_u = best_x, best_u
         alphas_last, resid_last = alphas[-1], resids[-1]
 
     # final differentiable QP at the best iterate (qp_wrapper.py:397-401)
-    A, B, f = _linearize(dynamics, best_x, best_u)
+    A, B, f = _linearize(dynamics, lin_x, lin_u)
     A, B, f = jax.lax.stop_gradient((A, B, f))
     if differentiable:
         w_hat = trajqp.traj_qp_layer(dcost.C, dcost.c, A, B, f, x0, bounds, cfg.qp)

@@ -188,3 +188,51 @@ def test_differentiable_through_solution():
         fd = (float(loss(c0 + pert)) - float(loss(c0 - pert))) / (2 * eps)
         gi = float(np.asarray(g).reshape(-1)[ci])
         assert abs(gi - fd) < 1e-2 + 1e-2 * abs(fd), (ci, gi, fd)
+
+
+def test_infeasible_x_init_warm_start_still_solves():
+    """A caller-supplied x_init that is NOT a rollout (e.g. the DEQ
+    proposal in TrackingMPC's ip path) must act as warm-start information
+    only. Regression for the r4 `--solver_type ip` training stall: the
+    line-search incumbent was scored on the infeasible proposal — which is
+    near-zero-cost by construction when the proposal IS the tracking
+    reference — so every feasible candidate was rejected and the solve
+    returned (x_init, u_init) untouched."""
+    model = Pendulum()
+    bsz, T, nx, nu = 4, 5, model.nx, model.nu
+    key = jax.random.PRNGKey(3)
+    x0 = 0.5 * jax.random.normal(key, (bsz, nx), jnp.float64)
+    bounds = Bounds(u_lo=jnp.array([-4.0]), u_hi=jnp.array([4.0]))
+    u0 = jnp.zeros((bsz, T, nu), jnp.float64)
+
+    # tracking cost whose reference EQUALS the infeasible x_init
+    x_prop = x0[:, None, :] + 0.3 * jax.random.normal(
+        jax.random.PRNGKey(4), (bsz, T, nx), jnp.float64)
+    x_prop = x_prop.at[:, 0].set(x0)
+    Cd = tracking_cost(bsz, T, nx, nu).Cd
+    c = -Cd * jnp.concatenate([x_prop, jnp.zeros((bsz, T, nu), jnp.float64)], -1)
+    cost = DiagQuadCost(Cd=Cd, c=c)
+
+    res = sqp_mpc.solve(model, cost, x0, bounds, u0, x_init=x_prop,
+                        cfg=SQPConfig(qp_iter=2), differentiable=False)
+    # value path must be dynamically consistent (a rollout of res.u) ...
+    xr = model.rollout(x0, res.u)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xr),
+                               rtol=1e-6, atol=1e-6)
+    # ... and must genuinely track: at least as good as the cold solve,
+    # and strictly better than doing nothing
+    from diff_qp_mpc_tpu.ops import almerit
+    n = nx + nu
+    Cfull = jax.vmap(jax.vmap(jnp.diag))(Cd)
+    dcost = QuadCost(C=Cfull, c=c)
+    cost_ws = almerit.compute_cost(
+        dcost, jnp.concatenate([res.x, res.u], -1))
+    res0 = sqp_mpc.solve(model, cost, x0, bounds, u0,
+                         cfg=SQPConfig(qp_iter=2), differentiable=False)
+    cost_cold = almerit.compute_cost(
+        dcost, jnp.concatenate([res0.x, res0.u], -1))
+    x_idle = model.rollout(x0, u0)
+    cost_idle = almerit.compute_cost(
+        dcost, jnp.concatenate([x_idle, u0], -1))
+    assert float(jnp.max(cost_ws - cost_cold)) < 1e-6, (cost_ws, cost_cold)
+    assert float(jnp.max(cost_ws - cost_idle)) < 0.0
