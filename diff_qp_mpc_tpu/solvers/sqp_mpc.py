@@ -253,8 +253,8 @@ def solve(dynamics: Union[DynamicsModel, LinDx], cost: Cost, x0: Array,
         return (x, u, cost_new, best_x, best_u, best_cost), (alpha, sol.resids)
 
     if cfg.single_qp_solve or cfg.qp_iter == 0:
-        # linearize the single QP at the warm start below, but the value
-        # base for the α-blended step must be feasible (see above)
+        # linearize the single QP at the warm start below, but the line
+        # search's incumbent/base must be the feasible rollout (see above)
         best_x, best_u = x_feas, u
         lin_x, lin_u = x, u
         alphas_last = jnp.ones((bsz,), x.dtype)
@@ -280,19 +280,22 @@ def solve(dynamics: Union[DynamicsModel, LinDx], cost: Cost, x0: Array,
     du = w_hat[..., nx:] - best_u
     cost_best = almerit.compute_cost(
         dcost_ng, jnp.concatenate([best_x, best_u], axis=-1))
-    _, _, alpha, cost_final = jax.lax.stop_gradient(
+    x_ls, u_ls, alpha, cost_final = jax.lax.stop_gradient(
         line_search(dynamics, dcost_ng, best_x, best_u,
                     jax.lax.stop_gradient(dx), jax.lax.stop_gradient(du),
                     x0_ng, cost_best, cfg.ls_decay, cfg.max_ls))
-    a = alpha[:, None, None]
-    # Straight-through: the VALUE is the α-blended step (reference
-    # qp_wrapper.py:399-401), but the GRADIENT is the full QP implicit
-    # sensitivity. At an SQP fixed point dx≈0 makes the line search decay
-    # α→~0, which in the reference silently kills the gradient; the IFT
-    # gradient through w_hat is the correct sensitivity there.
-    w_best = jnp.concatenate([best_x, best_u], axis=-1)
-    d_w = jnp.concatenate([dx, du], axis=-1)
-    w_value = jax.lax.stop_gradient(w_best + a * d_w)
+    # Straight-through: the VALUE is the line search's accepted candidate —
+    # u = best_u + α·du with x its FEASIBLE rollout (the reference's line
+    # search also scores and returns rollouts, qp_wrapper.py:417-436,598).
+    # Returning the rollout rather than the α-blend best_x + α·dx keeps
+    # the x output consistent when the final QP was linearized at a
+    # caller-supplied proposal (single_qp_solve + x_init: the blend base
+    # x_feas and the QP's linearization point differ, so the α-blend was
+    # neither a rollout nor the QP plan — advisor r4). The GRADIENT is the
+    # full QP implicit sensitivity: at an SQP fixed point dx≈0 makes the
+    # line search decay α→~0, which in the reference silently kills the
+    # gradient; the IFT gradient through w_hat is correct there.
+    w_value = jnp.concatenate([x_ls, u_ls], axis=-1)
     w_out = w_value + (w_hat - jax.lax.stop_gradient(w_hat))
     return SQPResult(x=w_out[..., :nx], u=w_out[..., nx:], cost=cost_final,
                      alpha=alphas_last, qp_resid=resid_last)

@@ -215,7 +215,10 @@ def test_infeasible_x_init_warm_start_still_solves():
 
     res = sqp_mpc.solve(model, cost, x0, bounds, u0, x_init=x_prop,
                         cfg=SQPConfig(qp_iter=2), differentiable=False)
-    # value path must be dynamically consistent (a rollout of res.u) ...
+    # value path must be dynamically consistent — exact by construction
+    # since r5: solve() returns the line search's rolled-out candidate,
+    # never an α-blend of trajectories linearized at different points
+    # (advisor r4 findings on sqp_mpc.py:279 / this test's brittleness)
     xr = model.rollout(x0, res.u)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(xr),
                                rtol=1e-6, atol=1e-6)
