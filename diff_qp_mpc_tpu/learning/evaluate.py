@@ -139,6 +139,11 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    # persistent compile cache (same rationale as train.main: fused-path
+    # TPU evals recompile a multi-minute Mosaic program otherwise)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.getcwd(), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     env_kwargs = ({'stabilization': True}
                   if getattr(args, 'stabilization', False) else {})

@@ -270,6 +270,13 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache: the fused DEQ-MPC training step is a
+    # multi-minute compile through the axon remote-compile tunnel; without
+    # this every run (and every resume) pays it again (bench.py and
+    # datagen.py already cache — train.py was the gap)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.getcwd(), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     if args.fused and jax.default_backend() == "cpu" and not args.platform:
         # the axon TPU tunnel initializes lazily and can drop mid-session;
         # when it does, jax silently falls back to CPU and the fused Pallas
