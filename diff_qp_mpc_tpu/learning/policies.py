@@ -87,8 +87,19 @@ class TrackingMPC:
         xu_ref = jnp.concatenate([x_ref, u_ref], axis=-1)
         cost = self.cost(xu_ref)
         if self.solver_type == "ip":
+            # the fused trajectory-QP kernel bakes the box bounds as
+            # compile-time clip constants (trajqp.solve converts them with
+            # np.asarray), so it must receive the STATIC python tuples —
+            # a device array here is a tracer under the jitted train step
+            # and crashed `--solver_type ip --fused` at the
+            # pretrain→deqmpc transition every run up to r5 (the r4
+            # "healthy at 900 steps" ip_fused run actually died of this
+            # at iter 1000)
+            ip_bounds = (Bounds(u_lo=self.u_lo, u_hi=self.u_hi)
+                         if self.sqp_cfg.qp.kernel == "fused"
+                         else self.bounds(x0.dtype))
             res = sqp_mpc.solve(
-                self.model, cost, x0, self.bounds(x0.dtype),
+                self.model, cost, x0, ip_bounds,
                 u_init=u_init if u_init is not None else u_ref,
                 x_init=x_init, cfg=self.sqp_cfg, differentiable=True)
             return res.x, res.u, state, res.qp_resid

@@ -221,7 +221,15 @@ def solve(dynamics: Union[DynamicsModel, LinDx], cost: Cost, x0: Array,
     dcost_ng = jax.lax.stop_gradient(dcost)
     x0_ng = jax.lax.stop_gradient(x0)
 
-    u = u_init
+    # The SQP iteration phase is the reference's torch.no_grad region
+    # (qp_wrapper.py:348-401): gradients flow ONLY through the final
+    # differentiable QP below. Detaching the warm starts here makes that
+    # structural — without it, differentiating w.r.t. a caller-supplied
+    # proposal (the DEQ reference) drags reverse-mode AD into the scan'd
+    # solver iterations, which the fused Pallas kernel does not define.
+    u = jax.lax.stop_gradient(u_init)
+    x_init = (jax.lax.stop_gradient(x_init)
+              if x_init is not None else None)
     # A caller-supplied x_init (e.g. the DEQ proposal in TrackingMPC's ip
     # path) is warm-start information for the FIRST linearization only.
     # The line-search baseline must be the FEASIBLE shooting trajectory of
@@ -271,7 +279,19 @@ def solve(dynamics: Union[DynamicsModel, LinDx], cost: Cost, x0: Array,
     A, B, f = _linearize(dynamics, lin_x, lin_u)
     A, B, f = jax.lax.stop_gradient((A, B, f))
     if differentiable:
-        w_hat = trajqp.traj_qp_layer(dcost.C, dcost.c, A, B, f, x0, bounds, cfg.qp)
+        if cfg.qp.kernel == "fused":
+            # the fused kernel needs the box as a STATIC python constant
+            # (see trajqp.traj_qp_layer_static); a traced bounds here
+            # raises TracerArrayConversionError with this context
+            import numpy as _np
+            bounds_static = Bounds(
+                u_lo=tuple(float(v) for v in _np.asarray(bounds.u_lo)),
+                u_hi=tuple(float(v) for v in _np.asarray(bounds.u_hi)))
+            w_hat = trajqp.traj_qp_layer_static(
+                dcost.C, dcost.c, A, B, f, x0, bounds_static, cfg.qp)
+        else:
+            w_hat = trajqp.traj_qp_layer(
+                dcost.C, dcost.c, A, B, f, x0, bounds, cfg.qp)
     else:
         sol = trajqp.solve(dcost.C, dcost.c, A, B, f, x0, bounds, cfg.qp,
                            x_init=best_x, u_init=best_u)

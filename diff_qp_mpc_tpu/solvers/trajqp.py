@@ -134,8 +134,10 @@ def solve(C: Array, c: Array, A: Array, B: Array, f: Array, x0: Array,
     T = Tm1 + 1
     dt = C.dtype
     cb = split_cost(C, c, nx)
-    u_hi = jnp.broadcast_to(bounds.u_hi, (bsz, T, nu)).astype(dt)
-    u_lo = jnp.broadcast_to(bounds.u_lo, (bsz, T, nu)).astype(dt)
+    # asarray first: bounds may carry STATIC python tuples (the fused
+    # kernel path requires them — the box is baked as clip constants)
+    u_hi = jnp.broadcast_to(jnp.asarray(bounds.u_hi), (bsz, T, nu)).astype(dt)
+    u_lo = jnp.broadcast_to(jnp.asarray(bounds.u_lo), (bsz, T, nu)).astype(dt)
 
     if cfg.kernel == "fused":
         import numpy as _np
@@ -354,6 +356,33 @@ def _bwd(cfg, saved, dl_dw):
 traj_qp_layer.defvjp(_fwd, _bwd)
 
 
+# Static-bounds variant for the FUSED whole-solver kernel: the kernel
+# bakes the box as compile-time clip constants (fused_trajqp_solve is
+# jitted with u_lo/u_hi in static_argnames), so bounds must stay a python
+# constant THROUGH the custom_vjp boundary — the array-input layer above
+# turns every pytree leaf (even python floats) into tracers when
+# differentiated, which crashed `--solver_type ip --fused` training at
+# the pretrain→deqmpc transition in every run through r4.
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def traj_qp_layer_static(C, c, A, B, f, x0, bounds, cfg: TrajQPConfig):
+    sol = solve(C, c, A, B, f, x0, bounds, cfg)
+    return jnp.concatenate([sol.x, sol.u], axis=-1)
+
+
+def _fwd_static(C, c, A, B, f, x0, bounds, cfg):
+    sol = solve(C, c, A, B, f, x0, bounds, cfg)
+    return (jnp.concatenate([sol.x, sol.u], axis=-1),
+            (C, c, A, B, f, x0, bounds, sol))
+
+
+def _bwd_static(bounds, cfg, saved, dl_dw):
+    out = _bwd(cfg, saved, dl_dw)
+    return out[:-1]  # drop the bounds cotangent (nondiff)
+
+
+traj_qp_layer_static.defvjp(_fwd_static, _bwd_static)
+
+
 # ---------------------------------------------------------------------------
 # Elastic (SL1QP) trajectory QP: l1-penalty slack pairs on the dynamics
 # rows, solved structurally — the box block eliminates as above and the
@@ -393,8 +422,10 @@ def solve_elastic(C: Array, c: Array, A: Array, B: Array, f: Array,
     T = Tm1 + 1
     dt = C.dtype
     cb = split_cost(C, c, nx)
-    u_hi = jnp.broadcast_to(bounds.u_hi, (bsz, T, nu)).astype(dt)
-    u_lo = jnp.broadcast_to(bounds.u_lo, (bsz, T, nu)).astype(dt)
+    # asarray first: bounds may carry STATIC python tuples (the fused
+    # kernel path requires them — the box is baked as clip constants)
+    u_hi = jnp.broadcast_to(jnp.asarray(bounds.u_hi), (bsz, T, nu)).astype(dt)
+    u_lo = jnp.broadcast_to(jnp.asarray(bounds.u_lo), (bsz, T, nu)).astype(dt)
 
     u = (jnp.clip(u_init, u_lo + 1e-3, u_hi - 1e-3)
          if u_init is not None else 0.5 * (u_hi + u_lo))

@@ -217,6 +217,49 @@ def test_deqmpc_tracking_backends_train_one_step(solver_type):
     assert float(optax.global_norm(g)) > 0
 
 
+def test_deqmpc_ip_fused_kernel_trains_one_step():
+    """Regression: `--solver_type ip --fused` crashed at the
+    pretrain→deqmpc transition in EVERY run through r4
+    (TracerArrayConversionError: TrackingMPC's ip branch passed device
+    bounds into the fused trajectory-QP kernel, which bakes the box as
+    static clip constants). The fused kernel runs in Pallas interpret
+    mode here so the trace+execute path is covered on CPU."""
+    from diff_qp_mpc_tpu.solvers.sqp_mpc import SQPConfig
+    from diff_qp_mpc_tpu.solvers.trajqp import TrajQPConfig
+
+    env = IntegratorEnv()
+    tracking = TrackingMPC(
+        model=env.model, T=5,
+        Q=tuple(float(v) for v in np.asarray(env.Qlqr)),
+        R=tuple(float(v) for v in np.asarray(env.Rlqr)),
+        u_lo=tuple(float(v) for v in env.action_space.low),
+        u_hi=tuple(float(v) for v in env.action_space.high),
+        cfg=al_mpc.ALConfig(al_iter=2),
+        solver_type="ip",
+        sqp_cfg=SQPConfig(
+            qp_iter=2, qp=TrajQPConfig(kernel="fused", interpret=True)),
+        use_fused=True,
+    )
+    pol = DEQMPCPolicy(nx=2, nu=1, nq=1, T=5, hdim=16, dt=env.model.dt,
+                       tracking=tracking, deq_iter=2, out_type=2)
+    x = jnp.asarray(np.random.RandomState(0).uniform(-1, 1, (4, 2)),
+                    jnp.float32)
+    params = pol.init(jax.random.PRNGKey(0), x, qp_solve=False)
+    gt_s = jnp.zeros((4, 5, 2))
+    gt_a = jnp.zeros((4, 5, 1))
+    m = jnp.ones((4, 5))
+
+    @jax.jit
+    def loss_fn(p):
+        its, _ = pol.apply(p, x, qp_solve=True)
+        loss, _ = losses_mod.compute_loss_deqmpc(2, gt_s, gt_a, m, its)
+        return loss
+
+    loss, g = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    assert float(optax.global_norm(g)) > 0
+
+
 def test_deq_conv_layer_variant():
     """Temporal-conv cell (reference layer_type='gcn')."""
     layer = DEQLayer(nx=3, nu=1, nq=1, T=5, hdim=16, dt=0.1, out_type=2,
