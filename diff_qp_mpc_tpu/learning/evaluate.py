@@ -123,7 +123,7 @@ def main(argv=None):
         for k in ("env", "deq", "deq_iter", "T", "hdim", "qp_iter",
                   "deq_out_type", "policy_out_type", "layer_type",
                   "solver_type", "tracking_r", "stabilization", "ws_mode",
-                  "solver_carry", "rho_max", "al_reg"):
+                  "solver_carry", "rho_max", "al_reg", "terminal_lqr"):
             if k in meta and k not in provided and hasattr(args, k):
                 setattr(args, k, meta[k])
         # Warm-start-carry semantics must follow the TRAINING operator, not

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from diff_qp_mpc_tpu.core.types import ALState, Bounds, DiagQuadCost
+from diff_qp_mpc_tpu.core.types import ALState, Bounds, DiagQuadCost, QuadCost
 from diff_qp_mpc_tpu.learning.deq import DEQLayer
 from diff_qp_mpc_tpu.models.base import DynamicsModel
 from diff_qp_mpc_tpu.solvers import al_mpc, sqp_mpc
@@ -60,6 +60,16 @@ class TrackingMPC:
     # (fused carry uses al_mpc.solve_fused_stateful; scan fresh passes a
     # reinitialized ALState per solve).
     carry_state: bool = None
+    # Dense terminal value-function cost P (row-major tuple-of-tuples so
+    # the frozen dataclass stays hashable as a flax-module attribute):
+    # adds x_Tᵀ P x_T about the terminal reference. The infinite-horizon
+    # LQR tail (solvers/lqr.terminal_value_cost) makes short-horizon MPC
+    # stabilizing — the corrected 2-link cartpole is unstabilizable at
+    # ANY probed budget (up to T=60/qp_iter=10, f32 or f64) without it
+    # and holds 64/64 at T=5 with it. ip-solver path only: the AL fused
+    # kernel's cost is diagonal by construction, while the trajectory-QP
+    # kernels carry dense per-stage blocks natively.
+    terminal_P: Optional[Tuple[Tuple[float, ...], ...]] = None
 
     @property
     def carry(self) -> bool:
@@ -77,6 +87,20 @@ class TrackingMPC:
             jnp.asarray(self.Q + self.R, xu_ref.dtype), (bsz, T, n))
         return DiagQuadCost(Cd=Cd, c=-Cd * xu_ref)
 
+    def cost_with_terminal(self, xu_ref: Array) -> QuadCost:
+        """Dense tracking cost with the terminal P added to the last
+        stage's state block; c keeps the same reference-centering
+        semantics (−C·τ_ref) so the minimum of every stage quadratic is
+        still the reference."""
+        bsz, T, n = xu_ref.shape
+        nx = self.model.nx
+        Cd = jnp.broadcast_to(
+            jnp.asarray(self.Q + self.R, xu_ref.dtype), (bsz, T, n))
+        C = jax.vmap(jax.vmap(jnp.diag))(Cd)
+        P = jnp.asarray(self.terminal_P, xu_ref.dtype)
+        C = C.at[:, -1, :nx, :nx].add(P)
+        return QuadCost(C=C, c=-jnp.einsum("btij,btj->bti", C, xu_ref))
+
     def init_state(self, bsz: int, dtype=jnp.float32) -> ALState:
         nx, nu = self.model.nx, self.model.nu
         return ALState.init(bsz, self.T, nx, nu,
@@ -85,7 +109,12 @@ class TrackingMPC:
     def solve(self, x0: Array, x_ref: Array, u_ref: Array, state: ALState,
               x_init: Optional[Array] = None, u_init: Optional[Array] = None):
         xu_ref = jnp.concatenate([x_ref, u_ref], axis=-1)
-        cost = self.cost(xu_ref)
+        if self.terminal_P is not None and self.solver_type != "ip":
+            raise NotImplementedError(
+                "terminal_P needs the dense-cost ip (trajectory-QP) path;"
+                " the AL kernels' cost is diagonal by construction")
+        cost = (self.cost_with_terminal(xu_ref)
+                if self.terminal_P is not None else self.cost(xu_ref))
         if self.solver_type == "ip":
             # the fused trajectory-QP kernel bakes the box bounds as
             # compile-time clip constants (trajqp.solve converts them with

@@ -92,6 +92,15 @@ def build_parser() -> argparse.ArgumentParser:
     # (state+action) the unweighted L1 action term dominates for large-force
     # robots (cartpole u≈±100/±250) and the MPC phase plateaus at a loss
     # the size of the action scale.
+    p.add_argument("--terminal_lqr", action="store_true",
+                   help="add the infinite-horizon LQR value function "
+                        "(DARE P at the env goal linearization, "
+                        "solvers/lqr.py) as a dense terminal cost on the "
+                        "tracking solve. Makes short-horizon MPC "
+                        "stabilizing; REQUIRED for the corrected 2-link "
+                        "cartpole (unstabilizable at any probed budget "
+                        "without it, 64/64 at T=5 with it). ip solver "
+                        "path only")
     p.add_argument("--deq_out_type", type=int, default=1)
     p.add_argument("--layer_type", type=str, default="mlp",
                    choices=["mlp", "conv"])
@@ -162,6 +171,18 @@ def make_policy(args, env):
     R = np.asarray(env.Rlqr)
     if getattr(args, "tracking_r", None) is not None:
         R = np.full_like(R, args.tracking_r)
+    terminal_P = None
+    if getattr(args, "terminal_lqr", False):
+        from diff_qp_mpc_tpu.solvers.lqr import terminal_value_cost
+
+        u_goal = (env.model.hover_thrust()
+                  if hasattr(env.model, "hover_thrust") else None)
+        P = terminal_value_cost(
+            env.model, getattr(env, "goal", np.zeros(env.nx)), u_goal,
+            np.asarray(env.Qlqr), R)
+        # hashable static form (frozen-dataclass flax attribute)
+        terminal_P = tuple(tuple(float(v) for v in row)
+                           for row in np.asarray(P))
     tracking = TrackingMPC(
         model=env.model,
         T=args.T,
@@ -185,6 +206,7 @@ def make_policy(args, env):
         use_fused=getattr(args, 'fused', False),
         carry_state={"auto": None, "on": True, "off": False}[
             getattr(args, 'solver_carry', 'auto')],
+        terminal_P=terminal_P,
     )
     if args.deq:
         return DEQMPCPolicy(
