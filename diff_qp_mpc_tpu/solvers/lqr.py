@@ -84,16 +84,32 @@ def terminal_value_cost(model, x_goal: Array, u_goal: Optional[Array],
     stage cost. Solved in f64 regardless of the model dtype (P entries
     are large; the caller casts down when assembling the cost).
     """
+    import numpy as np
+
     nx = int(jnp.asarray(x_goal).shape[-1])
     nu = int(jnp.asarray(R_diag).shape[-1])
-    xg = jnp.asarray(x_goal, jnp.float64)
-    ug = (jnp.asarray(u_goal, jnp.float64) if u_goal is not None
-          else jnp.zeros((nu,), jnp.float64))
+    xg = jnp.asarray(x_goal)
+    ug = (jnp.asarray(u_goal) if u_goal is not None
+          else jnp.zeros((nu,), xg.dtype))
 
     def f(xu):
         return model(xu[None, :nx], xu[None, nx:])[0]
 
-    J = jax.jacobian(f)(jnp.concatenate([xg, ug]))
+    J = np.asarray(jax.jacobian(f)(jnp.concatenate([xg, ug])), np.float64)
     A, B = J[:, :nx], J[:, nx:]
-    return dare(A, B, jnp.diag(jnp.asarray(Q_diag, jnp.float64)),
-                jnp.diag(jnp.asarray(R_diag, jnp.float64)))
+    # HOST-side f64 fixed point: without jax_enable_x64 the jnp dare()
+    # silently truncates to f32, where tol=1e-9 is unreachable and the
+    # stiff P (entries ~3.6e4 on cartpole-2L) loses the cross terms the
+    # stabilization depends on. Setup-time cost, so numpy is fine.
+    Q = np.diag(np.asarray(Q_diag, np.float64))
+    R = np.diag(np.asarray(R_diag, np.float64))
+    P, dP = Q, np.inf
+    for _ in range(10_000):
+        BtP = B.T @ P
+        K = np.linalg.solve(R + BtP @ B, BtP @ A)
+        Pn = Q + A.T @ P @ (A - B @ K)
+        dP = np.max(np.abs(Pn - P))
+        P = Pn
+        if dP < 1e-9:
+            break
+    return jnp.asarray(0.5 * (P + P.T))
