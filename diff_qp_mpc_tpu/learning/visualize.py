@@ -197,6 +197,10 @@ def main(argv=None):
             layer_type=meta.get("layer_type", "mlp"),
             solver_type=meta.get("solver_type", "al"),
             tracking_r=meta.get("tracking_r"),
+            rho_max=meta.get("rho_max"), al_reg=meta.get("al_reg"),
+            ws_mode=meta.get("ws_mode", "proposal"),
+            solver_carry=meta.get("solver_carry", "auto"),
+            terminal_lqr=meta.get("terminal_lqr", False),
             fused=False,  # scan path: visualization runs on CPU
             policy_out_type=meta.get("policy_out_type", 2))
         policy = make_policy(targs, env)

@@ -176,10 +176,28 @@ class Cartpole2L(DynamicsModel):
         return jnp.clip(u, -self.max_force, self.max_force)
 
     def state_clip(self, x: Array) -> Array:
-        """Wrap both pole angles to [0, 2π) (reference envs_v1.py:319-321)."""
-        from diff_qp_mpc_tpu.models.base import angle_normalize_2pi
+        """Wrap θ₁ to [0, 2π) and θ₂ to [−π, π).
 
-        return x.at[..., 1:3].set(angle_normalize_2pi(x[..., 1:3]))
+        The reference wraps BOTH joints to [0, 2π)
+        (envs_v1.py:319-321, my_envs/cartpole.py:89-90) — but its own
+        task goal (both links up = θ₂ ≡ 0 for the relative second
+        joint) sits EXACTLY on that branch seam, which is why its
+        done()/reward must take a min over all four {0, 2π}² corner
+        combinations (my_envs/cartpole.py:244-275) and why any
+        quadratic tracking cost centered at the goal sees a ≈2π error
+        the moment θ₂ dips negative — the solver then plans a
+        catastrophic full-circle 'correction' (round-5 diagnosis: this
+        single seam destabilized every closed-loop cp2 rollout through
+        env.step while the identical solver stepping the raw model was
+        64/64). The wrap branch is a representation choice on the same
+        circle quotient; centering θ₂'s branch on its goal value
+        removes the seam without changing which physical states exist.
+        θ₁ (goal π, mid-branch) keeps the reference's [0, 2π)."""
+        from diff_qp_mpc_tpu.models.base import (angle_normalize,
+                                                 angle_normalize_2pi)
+
+        x = x.at[..., 1].set(angle_normalize_2pi(x[..., 1]))
+        return x.at[..., 2].set(angle_normalize(x[..., 2]))
 
     def __hash__(self):
         return hash((type(self), self.dt, self.M, self.m1, self.m2,

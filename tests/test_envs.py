@@ -77,3 +77,26 @@ def test_reset_where():
     state2 = env.reset_where(jax.random.PRNGKey(5), state, mask)
     same = np.isclose(np.asarray(state2.x), np.asarray(state.x)).all(axis=-1)
     np.testing.assert_array_equal(same, [False, True, False, True])
+
+
+def test_cartpole2l_wrap_branch_is_seam_free_at_goal():
+    """Round-5 regression: the reference wraps BOTH joints to [0, 2π)
+    (my_envs/cartpole.py:89-90), putting the both-links-up goal's
+    θ₂ ≡ 0 exactly on the branch seam — a θ₂ = −0.02 read as 6.26 by
+    any quadratic tracking cost, which then plans a full-circle
+    'correction' (this single seam destabilized every closed-loop cp2
+    rollout through env.step while the same solver stepping the raw
+    model held 64/64). Our branch centers θ₂ on its goal: θ₂ ∈ [−π, π),
+    θ₁ keeps [0, 2π) (its goal π is mid-branch)."""
+    from diff_qp_mpc_tpu.models import Cartpole2L
+
+    m = Cartpole2L.pkg()
+    x = jnp.zeros((1, 6))
+    x = x.at[0, 1].set(-0.10)   # θ₁ slightly negative → wraps up
+    x = x.at[0, 2].set(-0.02)   # θ₂ slightly negative → must STAY near 0
+    y = m.state_clip(x)
+    assert abs(float(y[0, 1]) - (2 * np.pi - 0.10)) < 1e-6
+    assert abs(float(y[0, 2]) - (-0.02)) < 1e-6
+    # both wraps are the same circle quotient: physical angles unchanged
+    np.testing.assert_allclose(np.sin(np.asarray(y[0, 1:3])),
+                               np.sin(np.asarray(x[0, 1:3])), atol=1e-6)
